@@ -1,0 +1,44 @@
+"""Per-conversation rollups with explicit skew salting.
+
+Conversation lengths are heavy-tailed (Zipf-ish), so a naive
+groupBy(conv_id) funnels the longest conversations into single tasks. The
+north rule requires explicit salting: aggregate in two phases —
+  phase 1: groupBy(conv_id, salt) partial aggregate  (salt spreads hot keys)
+  phase 2: groupBy(conv_id) final combine            (tiny input, skew gone)
+AQE skew handling covers joins but does NOT salt aggregations, hence the
+hand-rolled two-phase pattern (SURVEY.md §4 custom-work item 1).
+
+This is the Spark analog of the reference's page->document metadata rollup
+(marie/pipe/extract_pipeline.py:315-322; marie/pipe/base_pipeline.py:67-128).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALT = 16
+
+
+def conversation_stats(extracted: DataFrame, salt_buckets: int = DEFAULT_SALT) -> DataFrame:
+    """Document-level rollup: per conv_id turn/line/char counts and per-kind
+    turn counts, salted two-phase."""
+    salted = extracted.withColumn(
+        "_salt", F.pmod(F.col("turn_idx"), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("conv_id", "_salt").agg(
+        F.count(F.lit(1)).alias("p_turns"),
+        F.sum("n_lines").alias("p_lines"),
+        F.sum(F.length("clean_text")).alias("p_chars"),
+        F.sum(F.when(F.col("doc_kind") == "html", 1).otherwise(0)).alias("p_html"),
+        F.sum(F.when(F.col("doc_kind") == "pdf_words", 1).otherwise(0)).alias("p_pdf"),
+        F.max("turn_idx").alias("p_max_turn"),
+    )
+    return partial.groupBy("conv_id").agg(
+        F.sum("p_turns").alias("n_turns"),
+        F.sum("p_lines").alias("n_lines"),
+        F.sum("p_chars").alias("n_clean_chars"),
+        F.sum("p_html").alias("n_html_turns"),
+        F.sum("p_pdf").alias("n_pdf_turns"),
+        (F.max("p_max_turn") + 1).alias("max_turn_idx_plus1"),
+    )

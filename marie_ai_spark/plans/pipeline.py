@@ -1,0 +1,122 @@
+"""End-to-end extraction job with per-partition lineage and idempotent
+resume.
+
+Execution model (designed for the 1000-executor / 100 TB case, tested on
+local[32]):
+
+  1. Work is split into `n_buckets` deterministic conv_id hash buckets
+     (bucket count ~= a few x total cores at scale).
+  2. A run processes only buckets with no `done` lineage row for its run_id
+     (anti-join -> resume skips completed work; re-runs are idempotent).
+  3. The extraction map is shuffle-free; output is written
+     partitionBy(_bucket) with dynamic partition overwrite, so a bucket that
+     was half-written by a crashed attempt is atomically replaced when the
+     bucket is re-processed — no duplicate rows, mirroring the lease/retry
+     semantics of the reference scheduler (marie/scheduler/fixtures.py:37-145).
+  4. Per-bucket metrics (rows in/out, order-independent checksum) are
+     appended to the lineage table after the bucket data is on disk.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_transcripts
+from ..ref_ops import DEFAULT_RULES
+from .lineage import (
+    append_lineage,
+    bucket_col,
+    done_partitions,
+    new_run_id,
+    partition_metrics,
+)
+
+
+def run_extract(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    run_id: str | None = None,
+    n_buckets: int = 32,
+    max_buckets: int | None = None,
+    rules=DEFAULT_RULES,
+) -> dict:
+    """Run (or resume) an extraction over `input_path` transcripts.
+
+    max_buckets limits how many pending buckets this invocation processes —
+    used by tests to simulate a mid-run failure before resume.
+    Returns run metadata {run_id, processed, skipped, rows_out}.
+    """
+    run_id = run_id or new_run_id()
+    extracted_path = f"{out_dir}/extracted"
+    lineage_path = f"{out_dir}/lineage"
+
+    transcripts = spark.read.parquet(input_path)
+    done = done_partitions(spark, lineage_path, run_id)
+    todo = [b for b in range(n_buckets) if b not in done]
+    if max_buckets is not None:
+        todo = todo[:max_buckets]
+    if not todo:
+        return {"run_id": run_id, "processed": 0, "skipped": len(done), "rows_out": 0}
+
+    started = datetime.now(timezone.utc).replace(tzinfo=None)
+    pending = transcripts.withColumn("_bucket", bucket_col(n_buckets)).filter(
+        F.col("_bucket").isin(todo)
+    )
+    rows_in = {
+        r["_bucket"]: r["cnt"]
+        for r in pending.groupBy("_bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+
+    extracted = extract_transcripts(pending, rules).withColumn(
+        "_bucket", bucket_col(n_buckets)
+    )
+    (
+        extracted.sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(extracted_path)
+    )
+
+    # metrics from what actually landed on disk
+    written = spark.read.parquet(extracted_path).filter(F.col("_bucket").isin(todo))
+    metrics = {r["_bucket"]: r for r in partition_metrics(written).collect()}
+    completed = datetime.now(timezone.utc).replace(tzinfo=None)
+    append_lineage(
+        spark,
+        lineage_path,
+        [
+            {
+                "run_id": run_id,
+                "partition_id": int(b),
+                "status": "done",
+                "rows_in": int(rows_in.get(b, 0)),
+                "rows_out": int(metrics[b]["rows_out"]) if b in metrics else 0,
+                "checksum": metrics[b]["checksum"] if b in metrics else "0",
+                "started_at": started,
+                "completed_at": completed,
+                "attempt": 1,
+            }
+            for b in todo
+        ],
+    )
+    total_out = sum(int(metrics[b]["rows_out"]) for b in metrics)
+    return {
+        "run_id": run_id,
+        "processed": len(todo),
+        "skipped": len(done),
+        "rows_out": total_out,
+    }
+
+
+def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The extracted table under stable (conv_id, turn_idx) ordering."""
+    return (
+        spark.read.parquet(f"{out_dir}/extracted")
+        .drop("_bucket")
+        .orderBy("conv_id", "turn_idx")
+    )

@@ -1,0 +1,269 @@
+"""Deterministic synthetic `transcripts` table generator.
+
+Schema (BASELINE.json input_hint):
+    transcripts(conv_id string, turn_idx int, role string, text string,
+                tool string, ts timestamp)
+
+Every field of every turn is a pure function of ``(conv_index, turn_idx, seed)``
+so generation is embarrassingly parallel: the Spark path fans conversation
+index ranges across executors and fills payloads in Arrow-batched pandas
+workers; the local path produces the identical rows in a single pandas frame.
+
+Conversation lengths follow a heavy-tailed (Zipf-like) distribution clamped to
+[1, 500] so a few conversations are very long — this makes `conv_id` skew
+handling in the pipeline load-bearing (cf. SURVEY.md §4 "skew salting").
+
+Payload mix per FIXTURES.md §1.1: plain 30%, html 25%, markdown 15%,
+pdf_words 20%, tool_log 10%; ~2% of turns are empty.
+
+Payload shapes model the reference's structures:
+  - pdf_words JSON mirrors the OCR word payload
+    (reference: marie/document/ocr_processor.py:180-190)
+  - html chrome/nav/footer mirrors the tag-skip extraction target
+    (reference: marie/agent/tools/utilities/web_fetch.py:23-46)
+  - markdown sections/bullets/tables mirror marie/extract/parser/base.py:17-170
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import random
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+
+EPOCH = datetime(2026, 1, 1, 0, 0, 0, tzinfo=timezone.utc)
+
+VOCAB = (
+    "the fast slow big small key value data row column table scan filter join "
+    "merge sort group agg window hash stream batch spark query order customer "
+    "part line vector dup a content main article section page text word"
+).split()
+
+TOOLS = ["web_fetch", "pdf_parse", "search", "code_run", "db_query"]
+
+MAX_CONV_LEN = 500
+# Pareto exponent for conversation length: X = U^-K, mean ~= 1/(1-K) = 20
+_LEN_K = 0.95
+
+
+def _u01(*parts) -> float:
+    """Deterministic uniform(0,1) from a stable md5 of the parts."""
+    h = hashlib.md5(":".join(str(p) for p in parts).encode()).hexdigest()
+    return int(h[:13], 16) / float(1 << 52)
+
+
+def _seed(*parts) -> int:
+    h = hashlib.md5(":".join(str(p) for p in parts).encode()).hexdigest()
+    return int(h[:16], 16)
+
+
+def conv_id_of(conv_index: int) -> str:
+    return f"conv-{conv_index:08d}"
+
+
+def conv_length(conv_index: int, seed: int = 42) -> int:
+    """Heavy-tailed conversation length in [1, MAX_CONV_LEN], mean ~20."""
+    u = max(_u01("len", seed, conv_index), 1e-12)
+    return max(1, min(MAX_CONV_LEN, int(u ** (-_LEN_K))))
+
+
+def _sentence(rng: random.Random, n_lo=5, n_hi=12) -> str:
+    return " ".join(rng.choice(VOCAB) for _ in range(rng.randint(n_lo, n_hi)))
+
+
+def _gen_plain(rng: random.Random) -> str:
+    lines = [_sentence(rng) for _ in range(rng.randint(3, 8))]
+    if rng.random() < 0.10:
+        # embedded boilerplate block targeted by the NEGATION cutpoint rule
+        pos = rng.randint(0, len(lines))
+        block = (
+            ["BEGIN BOILERPLATE"]
+            + [_sentence(rng, 3, 6) for _ in range(rng.randint(1, 3))]
+            + ["END BOILERPLATE"]
+        )
+        lines = lines[:pos] + block + lines[pos:]
+    if rng.random() < 0.15:
+        # blank runs exercise the blank-collapse semantics
+        pos = rng.randint(1, len(lines))
+        lines = lines[:pos] + ["", ""] + lines[pos:]
+    return "\n".join(lines)
+
+
+def _gen_html(rng: random.Random) -> str:
+    title = _sentence(rng, 2, 4)
+    nav_links = "".join(
+        f'<a href="/p{i}">{rng.choice(VOCAB)}</a> ' for i in range(rng.randint(3, 6))
+    )
+    foot_links = "".join(
+        f'<a href="/f{i}">{rng.choice(VOCAB)} {rng.choice(VOCAB)}</a> '
+        for i in range(rng.randint(2, 5))
+    )
+    paras = "".join(
+        f"<p>{_sentence(rng, 8, 16)}</p>" for _ in range(rng.randint(2, 4))
+    )
+    inline = f"<p>{_sentence(rng, 3, 5)} <b>{rng.choice(VOCAB)}</b> " \
+             f'<a href="/x">{rng.choice(VOCAB)}</a> {_sentence(rng, 3, 5)}</p>'
+    return (
+        f"<html><head><title>{title}</title>"
+        f"<script>var x = {rng.randint(1, 99)};</script>"
+        f"<style>.m{{color:#000}}</style></head>"
+        f"<body><nav>{nav_links}</nav>"
+        f'<div class="content"><h1>{title}</h1>{paras}{inline}</div>'
+        f"<footer>{foot_links}</footer></body></html>"
+    )
+
+
+def _gen_markdown(rng: random.Random) -> str:
+    out = []
+    for _ in range(rng.randint(1, 2)):
+        out.append(f"## {_sentence(rng, 2, 3).upper()}")
+        out.append(_sentence(rng, 6, 12))
+        for _ in range(rng.randint(2, 4)):
+            out.append(f"- **{rng.choice(VOCAB).title()}:** {_sentence(rng, 2, 5)}")
+    if rng.random() < 0.5:
+        hdr = [rng.choice(VOCAB) for _ in range(3)]
+        out.append("| " + " | ".join(hdr) + " |")
+        out.append("|" + "---|" * 3)
+        for _ in range(rng.randint(1, 3)):
+            out.append("| " + " | ".join(rng.choice(VOCAB) for _ in range(3)) + " |")
+    return "\n".join(out)
+
+
+def _gen_pdf_words(rng: random.Random) -> str:
+    n_pages = 2 if rng.random() < 0.10 else 1
+    pages = []
+    wid = 0
+    for p in range(n_pages):
+        two_col = rng.random() < 0.20
+        words = []
+        n_lines = rng.randint(3, 10)
+        for li in range(n_lines):
+            y = 200 + li * 60 + rng.randint(-3, 3)
+            for col in range(2 if two_col else 1):
+                x = 100 + col * 1300
+                for _ in range(rng.randint(2, 4) if two_col else rng.randint(4, 8)):
+                    t = rng.choice(VOCAB)
+                    w = len(t) * 20 + 10
+                    words.append(
+                        {
+                            "id": wid,
+                            "text": t,
+                            "box": [x, y, w, 40],
+                            "conf": round(0.90 + rng.random() * 0.099, 4),
+                        }
+                    )
+                    wid += 1
+                    x += w + rng.randint(8, 20)
+        pages.append({"page": p, "width": 2550, "height": 3300, "words": words})
+    return json.dumps({"pages": pages}, separators=(",", ":"))
+
+
+def _gen_tool_log(rng: random.Random) -> str:
+    return json.dumps(
+        {
+            "status": rng.choice(["ok", "ok", "ok", "error"]),
+            "url": f"https://example.com/{rng.choice(VOCAB)}/{rng.randint(1, 999)}",
+            "content": _sentence(rng, 6, 14),
+        },
+        separators=(",", ":"),
+    )
+
+
+_KIND_GEN = {
+    "plain": _gen_plain,
+    "html": _gen_html,
+    "markdown": _gen_markdown,
+    "pdf_words": _gen_pdf_words,
+    "tool_log": _gen_tool_log,
+}
+
+# cumulative shares per FIXTURES.md §1.1
+_KIND_CDF = [
+    ("plain", 0.30),
+    ("html", 0.55),
+    ("markdown", 0.70),
+    ("pdf_words", 0.90),
+    ("tool_log", 1.00),
+]
+
+
+def turn_kind(conv_id: str, turn_idx: int, seed: int = 42) -> str:
+    u = _u01("kind", seed, conv_id, turn_idx)
+    for kind, hi in _KIND_CDF:
+        if u < hi:
+            return kind
+    return "tool_log"
+
+
+def gen_turn(conv_index: int, turn_idx: int, seed: int = 42) -> dict:
+    """Fully deterministic single-turn row."""
+    cid = conv_id_of(conv_index)
+    role_i = turn_idx % 3
+    rng = random.Random(_seed("turn", seed, cid, turn_idx))
+    if rng.random() < 0.10:  # seeded jitter on the role cycle
+        role_i = (role_i + 1) % 3
+    role = ("user", "assistant", "tool")[role_i]
+
+    if _u01("empty", seed, cid, turn_idx) < 0.02:
+        text = ""
+    else:
+        text = _KIND_GEN[turn_kind(cid, turn_idx, seed)](rng)
+
+    tool = rng.choice(TOOLS) if role == "tool" else ""
+    ts = EPOCH + timedelta(seconds=conv_index * 211 + turn_idx * 17)
+    return {
+        "conv_id": cid,
+        "turn_idx": turn_idx,
+        "role": role,
+        "text": text,
+        "tool": tool,
+        "ts": ts.replace(tzinfo=None),
+    }
+
+
+def gen_pandas(n_convs: int, seed: int = 42, conv_offset: int = 0) -> pd.DataFrame:
+    """Local (driver-side) generation — identical rows to the Spark path."""
+    rows = []
+    for i in range(conv_offset, conv_offset + n_convs):
+        for t in range(conv_length(i, seed)):
+            rows.append(gen_turn(i, t, seed))
+    df = pd.DataFrame(rows)
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df
+
+
+TRANSCRIPTS_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+
+def gen_spark(spark, n_convs: int, seed: int = 42, partitions: int | None = None):
+    """Distributed generation: conversation ids fan out across executors, each
+    Arrow batch fills its turns locally. No shuffle, no driver materialization.
+    """
+    from pyspark.sql import functions as F
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_convs, 1, parts).withColumnRenamed("id", "conv_index")
+
+    def fill(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["conv_index"]:
+                i = int(i)
+                for t in range(conv_length(i, seed)):
+                    rows.append(gen_turn(i, t, seed))
+            if rows:
+                out = pd.DataFrame(rows)
+                out["turn_idx"] = out["turn_idx"].astype("int32")
+                yield out
+
+    return base.mapInPandas(fill, schema=TRANSCRIPTS_DDL)
+
+
+def write_transcripts(spark, path: str, n_convs: int, seed: int = 42,
+                      partitions: int | None = None) -> None:
+    gen_spark(spark, n_convs, seed, partitions).write.mode("overwrite").parquet(path)

@@ -1,0 +1,174 @@
+"""Unit tests for the pure-Python operator semantics (mirrors the
+reference's per-operator unit test style, e.g. tests/unit/test_overlap.py)."""
+
+import json
+
+from marie_ai_spark.ref_ops import (
+    DEFAULT_RULES,
+    apply_cutpoint_rules,
+    collapse_blank,
+    detect_doc_kind,
+    extract_html,
+    extract_markdown,
+    extract_plain,
+    extract_tool_log,
+    extract_turn,
+)
+from marie_ai_spark.ref_ops.pdf_words_ops import (
+    extract_pdf_words,
+    merge_bbox,
+    merge_lines,
+    vertical_iou,
+)
+
+
+class TestDetect:
+    def test_kinds(self):
+        assert detect_doc_kind("") == "plain"
+        assert detect_doc_kind("hello world\nmore") == "plain"
+        assert detect_doc_kind('{"pages":[{"page":0}]}') == "pdf_words"
+        assert detect_doc_kind('{"status":"ok","content":"x"}') == "tool_log"
+        assert detect_doc_kind("<html><body>x</body></html>") == "html"
+        assert detect_doc_kind("## TITLE\nbody") == "markdown"
+        assert detect_doc_kind("- **Key:** v") == "markdown"
+
+
+class TestGeometry:
+    def test_vertical_iou(self):
+        a = [0, 100, 50, 40]
+        b = [60, 105, 50, 40]
+        assert vertical_iou(a, b) > 0.8
+        c = [0, 200, 50, 40]
+        assert vertical_iou(a, c) == 0.0
+
+    def test_merge_bbox(self):
+        assert merge_bbox([0, 0, 10, 10], [5, 5, 10, 10]) == [0, 0, 15, 15]
+
+    def test_merge_lines_rows(self):
+        words = [
+            {"id": 0, "text": "b", "box": [100, 100, 40, 40], "conf": 0.9},
+            {"id": 1, "text": "a", "box": [10, 102, 40, 40], "conf": 0.8},
+            {"id": 2, "text": "c", "box": [10, 200, 40, 40], "conf": 0.7},
+        ]
+        lines = merge_lines(words)
+        assert len(lines) == 2
+        assert lines[0]["line"] == 1  # 1-based line ids
+        assert lines[0]["text"] == "a b"  # x-sorted within line
+        assert lines[0]["wordids"] == [1, 0]
+        assert lines[0]["confidence"] == round((0.9 + 0.8) / 2, 4)
+        assert lines[1]["text"] == "c"
+
+    def test_two_column_interleave(self):
+        # two columns on the same visual row join left-to-right (W2 lexsort)
+        words = [
+            {"id": 0, "text": "L", "box": [100, 100, 40, 40], "conf": 1.0},
+            {"id": 1, "text": "R", "box": [1400, 101, 40, 40], "conf": 1.0},
+        ]
+        lines = merge_lines(words)
+        assert len(lines) == 1 and lines[0]["text"] == "L R"
+
+    def test_pdf_multipage_formfeed(self):
+        payload = json.dumps(
+            {
+                "pages": [
+                    {"page": 0, "words": [
+                        {"id": 0, "text": "p0", "box": [0, 0, 10, 10], "conf": 1.0}
+                    ]},
+                    {"page": 1, "words": [
+                        {"id": 1, "text": "p1", "box": [0, 0, 10, 10], "conf": 1.0}
+                    ]},
+                ]
+            }
+        )
+        clean, spans, n = extract_pdf_words(payload)
+        assert clean == "p0\fp1"
+        assert n == 2
+
+
+class TestHtml:
+    def test_skip_and_density(self):
+        html = (
+            "<html><head><title>T</title><script>x</script></head><body>"
+            '<nav><a href="/">home</a> <a href="/b">blog</a></nav>'
+            "<div><p>real content text here</p></div>"
+            "<footer>plain footer words no links at all</footer></body></html>"
+        )
+        clean, spans, _ = extract_html(html)
+        assert "real content text here" in clean
+        assert "home" not in clean  # link-dense nav dropped
+        assert "T" not in clean.split()  # head skipped
+        # footer has zero link density -> kept
+        assert "plain footer words" in clean
+        labels = {(s[2], s[3]) for s in spans}
+        assert ("script_style", "drop") in labels
+        assert ("nav", "drop") in labels
+        assert ("content", "keep") in labels
+
+    def test_span_offsets_point_into_original(self):
+        html = "<html><body><p>abc def</p></body></html>"
+        clean, spans, _ = extract_html(html)
+        keep = [s for s in spans if s[3] == "keep"]
+        assert html[keep[0][0] : keep[0][1]] == "abc def"
+
+
+class TestMarkdown:
+    def test_sections_kv_table(self):
+        md = "## MY TITLE\nprose line\n- **Key:** value\n| a | b |\n|---|---|\n| 1 | 2 |"
+        clean, spans, n = extract_markdown(md)
+        assert clean.splitlines() == [
+            "MY TITLE",
+            "prose line",
+            "Key: value",
+            "a | b",
+            "1 | 2",
+        ]
+        assert n == 5
+        acts = [(s[2], s[3]) for s in spans]
+        assert ("kv", "keep") in acts
+        assert ("table", "drop") in acts  # separator row
+
+
+class TestTextUtil:
+    def test_collapse(self):
+        assert collapse_blank("a\n\n\nb") == "a\nb"
+        assert collapse_blank("a\n  \n\t\nb") == "a\nb"
+
+    def test_plain_spans(self):
+        t = "one\n\n two "
+        clean, spans, n = extract_plain(t)
+        assert clean == "one\ntwo"
+        assert n == 2
+        assert t[spans[1][0] : spans[1][1]] == " two "
+
+    def test_tool_log(self):
+        t = '{"status":"ok","url":"u","content":"the payload"}'
+        clean, spans, n = extract_tool_log(t)
+        assert clean == "the payload"
+        assert t[spans[0][0] : spans[0][1]] == "the payload"
+
+
+class TestCutpoints:
+    def test_negation_drops_section(self):
+        t = "keep1\nBEGIN BOILERPLATE\nnoise\nEND BOILERPLATE\nkeep2"
+        r = extract_turn(t)
+        assert r["clean_text"] == "keep1\nkeep2"
+        assert r["n_lines"] == 2
+        dropped = [s for s in r["spans"] if s[3] == "drop"]
+        assert len(dropped) == 3 and all(s[2] == "chrome" for s in dropped)
+
+    def test_unmatched_start_runs_to_end(self):
+        t = "keep1\nBEGIN BOILERPLATE\nnoise\nnoise2"
+        r = extract_turn(t)
+        assert r["clean_text"] == "keep1"
+
+    def test_positive_labels_only(self):
+        clean, spans, n = apply_cutpoint_rules(
+            "markdown",
+            "## A B\nx",
+            "A B\nx",
+            [(0, 6, "content", "keep"), (7, 8, "content", "keep")],
+            2,
+            DEFAULT_RULES,
+        )
+        assert clean == "A B\nx"  # POSITIVE never deletes
+        assert n == 2

@@ -1,0 +1,82 @@
+"""Idempotent mid-run resume against the lineage table (FIXTURES.md §4):
+run with an injected stop after K partitions, re-run with the same run_id,
+assert exactly one output row per (conv_id, turn_idx) and that the first K
+partitions were not reprocessed."""
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from marie_ai_spark.plans.pipeline import read_extracted, run_extract
+from marie_ai_spark.sources.transcripts import gen_pandas
+
+N_BUCKETS = 8
+K = 3
+
+
+@pytest.fixture(scope="module")
+def paths(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("resume")
+    inp = str(root / "transcripts")
+    out = str(root / "out")
+    spark.createDataFrame(gen_pandas(100, seed=7)).write.parquet(inp)
+    return inp, out
+
+
+def test_resume_no_duplicates(spark, paths):
+    inp, out = paths
+    n_input = spark.read.parquet(inp).count()
+
+    r1 = run_extract(spark, inp, out, run_id="run-a", n_buckets=N_BUCKETS,
+                     max_buckets=K)
+    assert r1["processed"] == K
+
+    lin1 = spark.read.parquet(f"{out}/lineage").toPandas()
+    assert set(lin1.partition_id) == set(range(K)) and (lin1.status == "done").all()
+
+    r2 = run_extract(spark, inp, out, run_id="run-a", n_buckets=N_BUCKETS)
+    assert r2["skipped"] == K
+    assert r2["processed"] == N_BUCKETS - K
+
+    ext = read_extracted(spark, out)
+    assert ext.count() == n_input
+    dups = (
+        ext.groupBy("conv_id", "turn_idx")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dups == 0
+
+    lin2 = spark.read.parquet(f"{out}/lineage").toPandas()
+    # first K partitions appear exactly once -> not reprocessed on resume
+    counts = lin2.groupby("partition_id").size()
+    assert (counts == 1).all() and len(counts) == N_BUCKETS
+    assert int(lin2.rows_out.sum()) == n_input
+    assert (lin2.rows_in.values == lin2.rows_out.values).all()
+
+    # third invocation: nothing left to do
+    r3 = run_extract(spark, inp, out, run_id="run-a", n_buckets=N_BUCKETS)
+    assert r3["processed"] == 0 and r3["skipped"] == N_BUCKETS
+
+
+def test_bucket_checksums_deterministic(spark, paths):
+    inp, out = paths
+    lin = spark.read.parquet(f"{out}/lineage").toPandas()
+    # recompute checksums from the final extracted table; must match lineage
+    ext = spark.read.parquet(f"{out}/extracted")
+    chk = (
+        ext.groupBy("_bucket")
+        .agg(
+            F.sum(F.xxhash64("conv_id", "turn_idx").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("c")
+        )
+        .toPandas()
+        .set_index("_bucket")["c"]
+    )
+    lin_chk = lin.set_index("partition_id")["checksum"]
+    assert {int(k): v for k, v in chk.items()} == {
+        int(k): v for k, v in lin_chk.items()
+    }
