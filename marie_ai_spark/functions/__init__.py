@@ -1,0 +1,67 @@
+"""Portable column expression helpers.
+
+Portability rule for the oracle gate: every function here has an exact ANSI
+SQL equivalent runnable by DuckDB (documented per helper), so engine and
+oracle compute identical values. Hash-dependent logic uses md5 (identical
+across engines) rather than engine-native hashes (xxhash64/duckdb hash),
+which differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization; '' -> empty array.
+    SQL: CASE WHEN trim(x)='' THEN [] ELSE regexp_split_to_array(trim(x),'\\s+') END
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(c), r"\s+")
+    )
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column.
+    SQL: list comprehension over regexp_split_to_array (see oracle_sql).
+    """
+    w = tokens(col)
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def cosine(a, b) -> Column:
+    """Cosine similarity of two array<double> columns, JVM-side (no UDF).
+    SQL: list_dot_product(a,b)/(sqrt(list_dot_product(a,a))*sqrt(list_dot_product(b,b)))
+    """
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def stable_fingerprint(col) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text —
+    the Spark analog of the reference's content-addressed frame checksum
+    (hash_frames_fast, marie/utils/image_utils.py:136-149).
+    SQL: md5(lower(regexp_replace(trim(x), '\\s+', ' ', 'g')))
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))

@@ -1,0 +1,148 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design: the O(n^2) trap in near-dup detection is avoided by joining
+on shared shingles / band signatures (candidate generation), never by a
+cross join. At 100 TB the shingle join shuffles on the shingle key (high
+cardinality -> well-spread) and the per-pair verification touches only
+candidate pairs. Hashes are md5-based so the DuckDB oracle reproduces them
+exactly (engine-native hash functions are not portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import shingles, stable_fingerprint
+
+MINHASH_HASHES = 8
+MINHASH_BANDS = 4  # 2 hashes per band
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicated fingerprint."""
+    return (
+        documents.select(
+            "doc_id", stable_fingerprint("text").alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _doc_shingles(documents: DataFrame, n: int) -> DataFrame:
+    return documents.select(
+        "doc_id", F.explode(shingles("text", n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Near-dup pairs by word n-gram Jaccard.
+
+    candidate generation: equi-join on shared shingle (no cross join);
+    verification: |A∩B| / (|A|+|B|-|A∩B|) from the distinct-shingle counts.
+    """
+    sh = _doc_shingles(documents, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_band_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
+    """MinHash signatures: h_i(doc) = min over shingles of md5(i||shingle)
+    (lexicographic min of a uniform hash == classic minhash); bands of 2
+    hashes are re-hashed into one band signature for LSH bucketing."""
+    sh = _doc_shingles(documents, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(MINHASH_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    bands = []
+    for b in range(MINHASH_BANDS):
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))).alias(
+                    "band_sig"
+                ),
+            )
+        )
+    out = bands[0]
+    for x in bands[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def minhash_lsh_candidates(documents: DataFrame, n: int = 3) -> DataFrame:
+    """LSH candidate pairs: docs sharing >=1 band signature."""
+    bs = minhash_band_signatures(documents, n)
+    a, b = bs.alias("a"), bs.alias("b")
+    return (
+        a.join(b, on=["band", "band_sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash over word tokens: bit i of the signature is the majority of
+    bit i across the tokens' md5 hashes (first 4 hex chars -> 16 bits).
+    Pure column algebra — explode + conditional sums, no UDF."""
+    tok = documents.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.col("text")), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+    tok = tok.select("doc_id", h.alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return per_doc.select("doc_id", sig.cast("long").alias("simhash"))

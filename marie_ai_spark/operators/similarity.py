@@ -1,0 +1,65 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k as the correctness baseline (JVM-side zip_with /
+aggregate — no UDF, no collect), and an LSH-bucketed variant as the scale
+path: random-hyperplane signatures prune the candidate set so the 100 TB
+plan joins on bucket instead of cross-joining all vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import cosine
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10
+) -> DataFrame:
+    """Top-k by cosine vs a constant query vector. The query is a literal
+    array (broadcast by construction); one narrow projection + one top-k
+    sort — Spark's TakeOrdered, no full sort at scale."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        "vec_id",
+        F.round(cosine(F.col("embedding").cast("array<double>"), q), 6).alias(
+            "cos_sim"
+        ),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+
+
+def hyperplane_signature(embeddings: DataFrame, planes: list[list[float]]) -> DataFrame:
+    """Random-hyperplane LSH bucket id: bit p = sign(dot(v, plane_p)).
+    Deterministic planes are supplied by the caller (seeded)."""
+    v = F.col("embedding").cast("array<double>")
+    sig = None
+    for p, plane in enumerate(planes):
+        pl = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, pl, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+        )
+        bit = F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return embeddings.select("vec_id", "embedding", sig.alias("bucket"))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 10,
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's hyperplane bucket."""
+    import builtins
+
+    qbucket = builtins.sum(
+        (1 << p)
+        for p, plane in enumerate(planes)
+        if builtins.sum(a * b for a, b in zip(query_vec, plane)) >= 0
+    )
+    bucketed = hyperplane_signature(embeddings, planes).filter(
+        F.col("bucket") == qbucket
+    )
+    return brute_force_topk(bucketed.select("vec_id", "embedding"), query_vec, k)
