@@ -54,7 +54,9 @@ def cosine(a, b) -> Column:
             lambda acc, v: acc + v,
         )
 
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    den = F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
+    # zero-norm vectors -> NULL (and keeps ANSI mode from aborting the job)
+    return F.when(den != 0, dot(a, b) / den)
 
 
 def stable_fingerprint(col) -> Column:

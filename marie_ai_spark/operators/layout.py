@@ -1,0 +1,157 @@
+"""Spark-relational PDF/layout reconstruction: word boxes -> lines ->
+reading-order text as pure DataFrame algebra (zero Python in the plan).
+
+This is the relational expression of the same semantics ref_ops
+implements procedurally (and the reference implements with OpenCV):
+
+  J1  word->line assignment      interval clustering as a lag()-gap window
+                                 (marie/boxes/line_processor.py:15-46)
+  T1/T2 line merge               vertical-overlap >= 0.35 criterion
+                                 (marie/boxes/line_processor.py:49-178)
+  A1  line assembly              groupBy + sorted collect_list
+                                 (marie/document/ocr_processor.py:210-247)
+  A2  bbox union                 min/max aggregates
+                                 (marie/utils/overlap.py:236-254)
+  W2  reading order              (line, x) struct sort
+                                 (marie/boxes/dit/ulim_dit_box_processor.py:800-815)
+  S7/S8 reassembly               \\n within page, \\f between pages
+                                 (marie/renderer/text_renderer.py:158)
+
+Cross-validated against the procedural path in tests: both must produce
+identical clean_text per turn.
+
+Scale profile: the payload parse (from_json) and explodes are narrow; the
+only exchanges are the two groupBys, both keyed by (conv_id, turn_idx[,
+page, line]) — high-cardinality keys, no skew. Whole-stage codegen covers
+every stage (no UDFs anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PDF_PAYLOAD_SCHEMA = (
+    "struct<pages:array<struct<page:int,width:int,height:int,"
+    "words:array<struct<id:int,text:string,box:array<int>,conf:double>>>>>"
+)
+
+# merge criterion constant: vertical overlap >= 0.35 * min height
+VOVERLAP = 0.35
+
+
+def parse_words(transcripts: DataFrame) -> DataFrame:
+    """pdf_words turns -> one row per word with page + box columns.
+    JVM-side JSON parse (from_json) + posexplode; Catalyst prunes the
+    payload to the fields used downstream."""
+    is_pdf = F.ltrim(F.col("text")).startswith("{") & F.substring(
+        F.ltrim(F.col("text")), 1, 256
+    ).contains('"pages"')
+    parsed = (
+        transcripts.filter(is_pdf)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.from_json("text", PDF_PAYLOAD_SCHEMA).alias("doc"),
+        )
+        .select("conv_id", "turn_idx", F.explode("doc.pages").alias("pg"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("pg.page").alias("page"),
+            F.explode("pg.words").alias("w"),
+        )
+    )
+    return parsed.select(
+        "conv_id",
+        "turn_idx",
+        "page",
+        F.col("w.id").alias("word_id"),
+        F.col("w.text").alias("word"),
+        F.col("w.box")[0].alias("x"),
+        F.col("w.box")[1].alias("y"),
+        F.col("w.box")[2].alias("wd"),
+        F.col("w.box")[3].alias("ht"),
+        F.col("w.conf").alias("conf"),
+    )
+
+
+def assign_lines(words: DataFrame) -> DataFrame:
+    """Line ids per page via the gap-window form of interval clustering:
+    scanning words in (y, x, wd, ht, word_id) total order, a new line opens
+    when the vertical overlap with the previous word falls below
+    VOVERLAP * min(height) — the reference's merge criterion linearized."""
+    w = Window.partitionBy("conv_id", "turn_idx", "page").orderBy(
+        "y", "x", "wd", "ht", "word_id"
+    )
+    prev_y = F.lag("y").over(w)
+    prev_ht = F.lag("ht").over(w)
+    overlap = prev_y + prev_ht - F.col("y")
+    new_line = (
+        F.when(prev_y.isNull(), F.lit(1))
+        .when(overlap < VOVERLAP * F.least("ht", prev_ht), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return words.withColumn(
+        "line",
+        F.sum(new_line).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def assemble_lines(lined: DataFrame) -> DataFrame:
+    """A1/A2: per line — x-sorted text join, bbox union, mean confidence."""
+    word_key = F.struct(
+        F.col("x"), F.col("y"), F.col("word_id"), F.col("word")
+    )
+    return lined.groupBy("conv_id", "turn_idx", "page", "line").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(word_key)), lambda s: s["word"]
+            ),
+            " ",
+        ).alias("line_text"),
+        F.min("x").alias("bx"),
+        F.min("y").alias("by"),
+        (F.max(F.col("x") + F.col("wd")) - F.min("x")).alias("bw"),
+        (F.max(F.col("y") + F.col("ht")) - F.min("y")).alias("bh"),
+        F.round(F.avg("conf"), 4).alias("confidence"),
+        F.sort_array(F.collect_list("word_id")).alias("wordids"),
+    )
+
+
+def reassemble_text(lines: DataFrame) -> DataFrame:
+    """S7/S8: line-sorted join with \\n per page, \\f between pages, blank
+    collapse — pure aggregates."""
+    line_key = F.struct(F.col("line"), F.col("line_text"))
+    pages = lines.groupBy("conv_id", "turn_idx", "page").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(line_key)),
+                lambda s: F.trim(s["line_text"]),
+            ),
+            "\n",
+        ).alias("page_text"),
+        F.count(F.lit(1)).alias("page_lines"),
+    )
+    page_key = F.struct(F.col("page"), F.col("page_text"))
+    return pages.groupBy("conv_id", "turn_idx").agg(
+        F.regexp_replace(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(page_key)),
+                    lambda s: s["page_text"],
+                ),
+                "\f",
+            ),
+            r"\n\s*\n+",
+            "\n",
+        ).alias("clean_text"),
+        F.sum("page_lines").cast("int").alias("n_lines"),
+    )
+
+
+def pdf_layout_pipeline(transcripts: DataFrame) -> DataFrame:
+    """Full relational path: parse -> line-assign -> assemble -> reassemble."""
+    return reassemble_text(assemble_lines(assign_lines(parse_words(transcripts))))

@@ -1,0 +1,87 @@
+"""Cross-validation of the Spark-relational layout pipeline against the
+procedural ref_ops path, plus tokenizer/chunking/voting operators."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from marie_ai_spark.operators.extract import extract_transcripts
+from marie_ai_spark.operators.layout import pdf_layout_pipeline
+from marie_ai_spark.operators.tokenize import (
+    chunk_tokens,
+    encode_text,
+    tokenize_extracted,
+)
+from marie_ai_spark.operators.voting import ensemble_extract, vote_best_extraction
+from marie_ai_spark.sources.transcripts import gen_pandas
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return spark.createDataFrame(gen_pandas(150, seed=11)).cache()
+
+
+def test_relational_layout_matches_procedural(spark, transcripts):
+    """Two independent implementations of the word-box -> text semantics
+    (pure DataFrame algebra vs the shared procedural module) must agree
+    byte-for-byte on every pdf_words turn."""
+    relational = pdf_layout_pipeline(transcripts).toPandas()
+    procedural = (
+        extract_transcripts(transcripts)
+        .filter(F.col("doc_kind") == "pdf_words")
+        .select("conv_id", "turn_idx", "clean_text", "n_lines")
+        .toPandas()
+    )
+    assert len(relational) == len(procedural) > 0
+    key = ["conv_id", "turn_idx"]
+    m = relational.merge(procedural, on=key, suffixes=("_rel", "_proc"))
+    assert len(m) == len(relational)
+    diff = m[m.clean_text_rel != m.clean_text_proc]
+    assert diff.empty, diff.head(2).to_dict("records")
+    assert (m.n_lines_rel == m.n_lines_proc).all()
+
+
+def test_tokenizer_roundtrip(spark, transcripts):
+    ext = extract_transcripts(transcripts)
+    tok = tokenize_extracted(ext)
+    got = {
+        (r.conv_id, r.turn_idx): list(r.token_ids)
+        for r in tok.limit(2000).collect()
+    }
+    want_src = {
+        (r.conv_id, r.turn_idx): r.clean_text
+        for r in ext.select("conv_id", "turn_idx", "clean_text").collect()
+    }
+    assert got
+    for k, ids in got.items():
+        assert ids == encode_text(want_src[k])
+
+
+def test_chunking_covers_all_tokens(spark, transcripts):
+    tok = tokenize_extracted(extract_transcripts(transcripts))
+    chunks = chunk_tokens(tok, max_len=32, overlap=8)
+    joined = (
+        chunks.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.max("chunk_len").alias("max_len"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .join(tok, ["conv_id", "turn_idx"])
+        .collect()
+    )
+    for r in joined:
+        assert r.max_len <= 32
+        if r.n_tokens > 0:
+            # starts at 0, stride 24, last start <= n_tokens-1
+            assert r.n_chunks == (r.n_tokens - 1) // 24 + 1
+
+
+def test_voting_prefers_richer_variant(spark, transcripts):
+    ens = ensemble_extract(transcripts)
+    best = vote_best_extraction(ens)
+    n_turns = transcripts.count()
+    assert best.count() == n_turns
+    # the no_rules variant never deletes lines, so NEGATION-affected plain
+    # turns must pick it (more lines) under the (n_lines, len) score
+    boiler = best.filter(F.col("clean_text").contains("BEGIN BOILERPLATE"))
+    assert boiler.filter(F.col("variant") != "no_rules").count() == 0

@@ -1,0 +1,151 @@
+"""Unit tests for the dedup / similarity / session operators against
+hand-computed or pure-Python expectations."""
+
+import hashlib
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from marie_ai_spark.operators import dedup, sessions, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e"),          # exact dup of 1 (after normalization)
+        (3, "a  b   c d E "),      # same after lower+ws-normalize
+        (4, "x y z w v"),
+        (5, "a b c d q"),          # near-dup of 1 (shares shingles)
+        (6, "one two"),            # too short for 3-gram shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = {
+        r.fingerprint: (r.n_dups, r.keeper_doc_id)
+        for r in dedup.exact_duplicates(docs).collect()
+    }
+    fp = hashlib.md5(b"a b c d e").hexdigest()
+    assert out == {fp: (3, 1)}
+
+
+def test_ngram_jaccard(docs):
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()
+    }
+    # docs 1,2: identical shingle sets -> jaccard 1.0
+    assert out[(1, 2)] == 1.0
+    # doc 3 differs in one shingle from 1 ('c d E' vs 'c d e'): j = 2/4
+    # (shingling is case-sensitive; only the fingerprint normalizes case)
+    assert out[(1, 3)] == 0.5 and out[(2, 3)] == 0.5
+    # doc 5 shares 'a b c'/'b c d' of 1's three shingles: j = 2/4
+    assert out[(1, 5)] == 0.5
+    assert (1, 4) not in out
+    assert all(a < b for a, b in out)
+
+
+def test_minhash_identical_docs_bucket_together(docs):
+    pairs = {
+        (r.doc_a, r.doc_b) for r in dedup.minhash_lsh_candidates(docs).collect()
+    }
+    # identical shingle sets -> identical signatures -> all bands collide
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_simhash_matches_python(docs):
+    out = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+
+    def py_simhash(text):
+        toks = text.split()
+        bits = [0] * 16
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:4], 16)
+            for i in range(16):
+                bits[i] += 1 if (h >> i) & 1 else -1
+        return sum((1 << i) for i in range(16) if bits[i] > 0)
+
+    assert out[1] == py_simhash("a b c d e")
+    assert out[4] == py_simhash("x y z w v")
+    # identical content -> identical simhash
+    assert out[1] == out[2]
+
+
+def test_brute_force_topk(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), [1.0, 0.0], k=2
+    ).collect()
+    assert [r.vec_id for r in out] == [1, 2]
+    assert out[0].cos_sim == round(1.0 / math.sqrt(1.01), 6)
+
+
+def test_lsh_topk_prunes_to_bucket(spark):
+    rows = [(i, [float(i % 3 - 1), float(i % 2)]) for i in range(1, 20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    q = [0.9, 0.5]
+    got = similarity.lsh_topk(emb, q, planes, k=5).collect()
+    # every result must live in the query's bucket: both dots >= 0
+    for r in got:
+        row = dict(rows)[r.vec_id]
+        assert row[0] >= 0 and row[1] >= 0
+
+
+def test_majority_vote_tiebreak(spark):
+    rows = [
+        ("k1", "x", 1.0), ("k1", "x", 1.0), ("k1", "y", 5.0),
+        ("k2", "p", 1.0), ("k2", "q", 2.0),  # tie on votes -> weight wins
+    ]
+    df = spark.createDataFrame(rows, "k string, cand string, w double")
+    out = {r.k: (r.winner, r.votes) for r in
+           sessions.majority_vote(df, "k", "cand", "w").collect()}
+    assert out["k1"] == ("x", 2)
+    assert out["k2"] == ("q", 1)
+
+
+def test_sessionize_gap(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "a", 1.0),
+        (2, "2024-01-01 00:10:00", 10, "a", 2.0),   # same session
+        (3, "2024-01-01 12:00:00", 10, "a", 3.0),   # new session (gap > 8h)
+        (4, "2024-01-01 00:00:00", 20, "a", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sessions.sessionize(df, gap_seconds=28800).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(per_user[10]) == [1, 2]
+    assert per_user[20] == [1]
+
+
+def test_asof_lookup(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "signup", 0.0),
+        (2, "2024-01-02 00:00:00", 10, "purchase", 5.0),
+        (3, "2024-01-03 00:00:00", 10, "signup", 0.0),
+        (4, "2024-01-04 00:00:00", 10, "purchase", 5.0),
+        (5, "2024-01-01 00:00:00", 20, "purchase", 1.0),  # no prior signup
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.event_id: r.lookup_ts for r in
+           sessions.asof_last_event(df, "purchase", "signup").collect()}
+    assert str(out[2]) == "2024-01-01 00:00:00"
+    assert str(out[4]) == "2024-01-03 00:00:00"
+    assert out[5] is None
