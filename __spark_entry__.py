@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from marie_ai_spark.operators import dedup, sessions, similarity, textstats
+from marie_ai_spark.operators import annotate, dedup, sessions, similarity, textstats
 from marie_ai_spark.operators.extract import extract_transcripts, ordered_extracted
 from marie_ai_spark.operators.rollup import conversation_stats
 from marie_ai_spark.sources.transcripts import gen_spark
@@ -197,6 +197,25 @@ def q_embed_topk(spark, sf):
     )
 
 
+def q_annotate_regex(spark, sf):
+    return annotate.annotate_regex(_t(spark, sf, "documents"))
+
+
+def q_classify_vote(spark, sf):
+    """Classification voting (MAJORITY policy, BEST tie-break) treating
+    per-user events as classifier results."""
+    return annotate.classify_vote(
+        _t(spark, sf, "events"), "user_id", "event_type", "value",
+        policy="majority", tie_break="best",
+    )
+
+
+def q_embed_neardup(spark, sf):
+    return similarity.cosine_neardup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.45
+    )
+
+
 def q_extract_transcripts(spark, sf):
     """The real pipeline on synthetic transcripts (non-SQL-expressible:
     pandas-UDF payload parsing; correctness gate lives in tests/)."""
@@ -235,6 +254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_lang_profile": q_lang_profile,
         "q_embed_topk": q_embed_topk,
+        "q_annotate_regex": q_annotate_regex,
+        "q_classify_vote": q_classify_vote,
+        "q_embed_neardup": q_embed_neardup,
         "q_extract_transcripts": q_extract_transcripts,
         "q_conversation_rollup": q_conversation_rollup,
     }
@@ -497,6 +519,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY cos_sim DESC, e.vec_id
             LIMIT 10
+        """,
+        "q_annotate_regex": """
+            WITH r(rule, pattern, value_type) AS (
+                VALUES ('number', '(\\d+(?:\\.\\d+)?)', 'numeric'),
+                       ('url', '(https?://[^\\s"'']+)', 'uri'),
+                       ('key_token', '\\b(spark|join|merge)\\b', 'keyword')
+            ),
+            m AS (
+                SELECT doc_id, rule, value_type,
+                       regexp_extract_all(text, pattern, 1) AS vals
+                FROM documents, r
+            )
+            SELECT doc_id, rule, value_type,
+                   generate_subscripts(vals, 1) - 1 AS match_idx,
+                   unnest(vals) AS value
+            FROM m
+        """,
+        "q_classify_vote": """
+            SELECT user_id, event_type AS winner, votes, max_score, sum_score
+            FROM (
+                SELECT user_id, event_type,
+                       count(*) AS votes,
+                       round(max(value), 6) AS max_score,
+                       round(sum(value), 6) AS sum_score,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY count(*) DESC, round(sum(value), 6) DESC,
+                                    event_type
+                       ) AS rn
+                FROM events
+                GROUP BY user_id, event_type
+            ) WHERE rn = 1
+        """,
+        "q_embed_neardup": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(
+                     list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(
+                     list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45
         """,
         # q_extract_transcripts / q_conversation_rollup: non-SQL-expressible
         # (pandas-UDF payload parsing); covered by tests/ equality gate.

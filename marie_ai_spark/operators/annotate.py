@@ -1,0 +1,106 @@
+"""Annotators: configured regex rules over document text -> typed
+annotation rows, and classification voting policies.
+
+Reference semantics:
+  - RegexAnnotator: a list of named regex rules is applied to the full
+    document text; each match emits {name, value, type, confidence}
+    (marie/extract/annotators/regex_annotator.py:52-90).
+  - Classification voting policies MAJORITY / MAX_SCORE with tie-break
+    strategies (ABSTAIN / BEST) over per-page classifier results
+    (marie/pipe/voting.py:8-60).
+
+Spark mapping: regexp_extract_all per rule + posexplode (JVM-side, no
+Python); policies as two-stage aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_ANNOTATION_RULES = [
+    # (rule name, regex with one capture group, value type)
+    ("number", r"(\d+(?:\.\d+)?)", "numeric"),
+    ("url", r"(https?://[^\s\"']+)", "uri"),
+    ("key_token", r"\b(spark|join|merge)\b", "keyword"),
+]
+
+
+def annotate_regex(
+    documents: DataFrame,
+    rules: list[tuple[str, str, str]] = DEFAULT_ANNOTATION_RULES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One output row per (document, rule, match): the exploded relational
+    form of the reference's annotation list."""
+    per_rule = []
+    for name, pattern, vtype in rules:
+        per_rule.append(
+            documents.select(
+                F.col(id_col),
+                F.lit(name).alias("rule"),
+                F.lit(vtype).alias("value_type"),
+                F.posexplode(
+                    F.regexp_extract_all(F.col(text_col), F.lit(pattern), 1)
+                ).alias("match_idx", "value"),
+            )
+        )
+    out = per_rule[0]
+    for df in per_rule[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def classify_vote(
+    results: DataFrame,
+    key: str,
+    label: str = "label",
+    score: str = "score",
+    policy: str = "majority",
+    tie_break: str = "best",
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """Reduce per-classifier rows (key, label, score) to one decision per
+    key.
+
+    policy='majority': most votes wins; 'max_score': highest max score wins.
+    tie_break='best': break by summed score then label; 'abstain': emit
+    NULL winner when the top two are tied (within min_margin for scores).
+    """
+    agg = results.groupBy(key, label).agg(
+        F.count(F.lit(1)).alias("votes"),
+        F.round(F.max(score), 6).alias("max_score"),
+        F.round(F.sum(score), 6).alias("sum_score"),
+    )
+    if policy == "majority":
+        order = [F.desc("votes"), F.desc("sum_score"), F.asc(label)]
+        top_metric = F.col("votes").cast("double")
+    else:
+        order = [F.desc("max_score"), F.desc("sum_score"), F.asc(label)]
+        top_metric = F.col("max_score")
+
+    w = Window.partitionBy(key).orderBy(*order)
+    ranked = agg.withColumn("rn", F.row_number().over(w)).withColumn(
+        "top_metric", top_metric
+    )
+    first = ranked.filter(F.col("rn") == 1)
+    if tie_break == "abstain":
+        second = ranked.filter(F.col("rn") == 2).select(
+            F.col(key).alias("_k2"), F.col("top_metric").alias("runner_metric")
+        )
+        first = first.join(
+            second, first[key] == second["_k2"], "left"
+        ).withColumn(
+            "winner",
+            F.when(
+                F.col("runner_metric").isNotNull()
+                & (F.col("top_metric") - F.col("runner_metric") <= min_margin),
+                F.lit(None).cast("string"),
+            ).otherwise(F.col(label)),
+        )
+    else:
+        first = first.withColumn("winner", F.col(label))
+    return first.select(
+        F.col(key), "winner", "votes", "max_score", "sum_score"
+    )

@@ -63,3 +63,29 @@ def lsh_topk(
         F.col("bucket") == qbucket
     )
     return brute_force_topk(bucketed.select("vec_id", "embedding"), query_vec, k)
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.45
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (verification stage).
+
+    Exact all-pairs join — correct but O(n^2); at 100 TB this runs only on
+    LSH-bucketed candidates (join `hyperplane_signature` buckets first, as
+    `lsh_topk` does), never on the full corpus. Kept exact here because it
+    is the oracle-checkable verification step.
+    """
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

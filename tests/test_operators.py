@@ -149,3 +149,51 @@ def test_asof_lookup(spark):
     assert str(out[2]) == "2024-01-01 00:00:00"
     assert str(out[4]) == "2024-01-03 00:00:00"
     assert out[5] is None
+
+
+def test_annotate_regex(spark):
+    from marie_ai_spark.operators.annotate import annotate_regex
+
+    docs = spark.createDataFrame(
+        [(1, "see https://x.io/a and 42 or 3.5 spark join")],
+        "doc_id long, text string",
+    )
+    rows = annotate_regex(docs).collect()
+    got = {(r.rule, r.match_idx): r.value for r in rows}
+    assert got[("number", 0)] == "42"
+    assert got[("number", 1)] == "3.5"
+    assert got[("url", 0)] == "https://x.io/a"
+    assert got[("key_token", 0)] == "spark"
+    assert got[("key_token", 1)] == "join"
+
+
+def test_classify_vote_policies(spark):
+    from marie_ai_spark.operators.annotate import classify_vote
+
+    rows = [
+        (1, "cat", 0.9), (1, "cat", 0.1), (1, "dog", 0.8),
+        (2, "cat", 0.5), (2, "dog", 0.9),
+    ]
+    df = spark.createDataFrame(rows, "k long, label string, score double")
+    maj = {r.k: r.winner for r in
+           classify_vote(df, "k", policy="majority").collect()}
+    assert maj[1] == "cat"
+    mx = {r.k: r.winner for r in
+          classify_vote(df, "k", policy="max_score").collect()}
+    assert mx[1] == "cat" and mx[2] == "dog"
+    # abstain: key 2 has a vote tie (1 vs 1) under majority -> NULL
+    ab = {r.k: r.winner for r in
+          classify_vote(df, "k", policy="majority", tie_break="abstain").collect()}
+    assert ab[1] == "cat" and ab[2] is None
+
+
+def test_cosine_neardup_pairs(spark):
+    from marie_ai_spark.operators.similarity import cosine_neardup_pairs
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.99, 0.05]), (3, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r.vec_a, r.vec_b): r.cos_sim
+             for r in cosine_neardup_pairs(emb, threshold=0.9).collect()}
+    assert (1, 2) in pairs and len(pairs) == 1
