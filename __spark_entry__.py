@@ -211,8 +211,10 @@ def q_classify_vote(spark, sf):
 
 
 def q_embed_neardup(spark, sf):
+    """Near-dup pairs blocked on the label column (the equality blocking
+    key standing in for an LSH bucket at this data shape)."""
     return similarity.cosine_neardup_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.45
+        _t(spark, sf, "embeddings"), threshold=0.45, block_col="label"
     )
 
 
@@ -554,14 +556,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_embed_neardup": """
             WITH e AS (
-                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
             )
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(
                      list_dot_product(a.v, b.v) /
                      (sqrt(list_dot_product(a.v, a.v))
                       * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round(
                      list_dot_product(a.v, b.v) /
                      (sqrt(list_dot_product(a.v, a.v))

@@ -39,6 +39,9 @@ HEADLINE = [
     "q_fingerprint",
     "q_lang_profile",
     "q_embed_topk",
+    "q_annotate_regex",
+    "q_classify_vote",
+    "q_embed_neardup",
     "q_extract_transcripts",
     "q_conversation_rollup",
 ]

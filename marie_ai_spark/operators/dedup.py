@@ -91,21 +91,22 @@ def minhash_band_signatures(documents: DataFrame, n: int = 3) -> DataFrame:
         for i in range(MINHASH_HASHES)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
-    bands = []
-    for b in range(MINHASH_BANDS):
-        bands.append(
-            sig.select(
-                "doc_id",
+    # unpivot bands with one explode so the signature aggregation is
+    # computed once (a per-band union would re-run the scan+agg per band)
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))).alias(
-                    "band_sig"
-                ),
+                F.md5(
+                    F.concat_ws("|", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))
+                ).alias("band_sig"),
             )
-        )
-    out = bands[0]
-    for x in bands[1:]:
-        out = out.unionByName(x)
-    return out
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.explode(band_structs).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"))
 
 
 def minhash_lsh_candidates(documents: DataFrame, n: int = 3) -> DataFrame:

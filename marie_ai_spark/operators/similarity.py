@@ -66,26 +66,45 @@ def lsh_topk(
 
 
 def cosine_neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.45
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (verification stage).
 
-    Exact all-pairs join — correct but O(n^2); at 100 TB this runs only on
-    LSH-bucketed candidates (join `hyperplane_signature` buckets first, as
-    `lsh_topk` does), never on the full corpus. Kept exact here because it
-    is the oracle-checkable verification step.
+    Pair generation is quadratic, so at scale it MUST be restricted to
+    candidates: pass `block_col` (an equality blocking key — a cluster
+    label, or a `hyperplane_signature` LSH bucket) so the self-join is an
+    equi-join on the block, never a cross join. Norms are precomputed once
+    per vector (one narrow pass) so each pair costs a single dot product;
+    the dot is a sequential left-to-right fold, bit-identical to the SQL
+    oracle's list_dot_product.
     """
-    e = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    a = e.alias("a")
-    b = e.alias("b")
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cols = ["vec_id", F.col("embedding").cast("array<double>").alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("_blk"))
+    e = embeddings.select(*cols).withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a, b = e.alias("a"), e.alias("b")
+    cond = F.col("a.vec_id") < F.col("b.vec_id")
+    if block_col:
+        join = a.join(b, (F.col("a._blk") == F.col("b._blk")) & cond)
+    else:
+        join = a.join(b, cond)
+    den = F.col("a.norm") * F.col("b.norm")
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
+        join.select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+            F.round(
+                F.when(den != 0, dot(F.col("a.v"), F.col("b.v")) / den), 4
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
