@@ -228,12 +228,43 @@ def q_extract_transcripts(spark, sf):
     )
 
 
+def q_extract_grid(spark, sf):
+    """Fixed-grid (TextRenderer) reassembly mode over the pdf_words turns
+    (rows-only: grid placement is not SQL-expressible)."""
+    n_convs = 400 if "0.1" in sf else 100
+    tr = gen_spark(spark, n_convs, seed=42)
+    ext = extract_transcripts(tr, pdf_mode="grid")
+    from pyspark.sql import functions as _F
+
+    return ordered_extracted(
+        ext.filter(_F.col("doc_kind") == "pdf_words")
+    ).select("conv_id", "turn_idx", "clean_text", "n_lines")
+
+
 def q_conversation_rollup(spark, sf):
     """Salted two-phase per-conversation rollup over the extraction output
     (non-SQL-expressible upstream; rows-only check)."""
     n_convs = 400 if "0.1" in sf else 100
     tr = gen_spark(spark, n_convs, seed=42)
     return conversation_stats(extract_transcripts(tr))
+
+
+def q_span_regions(spark, sf):
+    """Normalized regions side table + per-role rollup (rows-only)."""
+    from marie_ai_spark.operators.regions import region_role_counts
+
+    n_convs = 400 if "0.1" in sf else 100
+    tr = gen_spark(spark, n_convs, seed=42)
+    return region_role_counts(extract_transcripts(tr))
+
+
+def q_markdown_kv(spark, sf):
+    """JVM-side KV pair extraction from markdown turns (rows-only)."""
+    from marie_ai_spark.operators.regions import markdown_kv_pairs
+
+    n_convs = 400 if "0.1" in sf else 100
+    tr = gen_spark(spark, n_convs, seed=42)
+    return markdown_kv_pairs(tr)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -260,7 +291,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_classify_vote": q_classify_vote,
         "q_embed_neardup": q_embed_neardup,
         "q_extract_transcripts": q_extract_transcripts,
+        "q_extract_grid": q_extract_grid,
         "q_conversation_rollup": q_conversation_rollup,
+        "q_span_regions": q_span_regions,
+        "q_markdown_kv": q_markdown_kv,
     }
 
 

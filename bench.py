@@ -43,7 +43,10 @@ HEADLINE = [
     "q_classify_vote",
     "q_embed_neardup",
     "q_extract_transcripts",
+    "q_extract_grid",
     "q_conversation_rollup",
+    "q_span_regions",
+    "q_markdown_kv",
 ]
 
 

@@ -32,10 +32,10 @@ EXTRACTED_SCHEMA = (
 )
 
 
-def _extract_batches(rules):
+def _extract_batches(rules, pdf_mode="compact"):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            results = [extract_turn(t, rules) for t in pdf["text"]]
+            results = [extract_turn(t, rules, pdf_mode) for t in pdf["text"]]
             out = pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"].values,
@@ -61,14 +61,18 @@ def _extract_batches(rules):
     return fn
 
 
-def extract_transcripts(transcripts: DataFrame, rules=DEFAULT_RULES) -> DataFrame:
+def extract_transcripts(
+    transcripts: DataFrame, rules=DEFAULT_RULES, pdf_mode: str = "compact"
+) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> extracted.
 
     Narrow transformation: no shuffle. Input column pruning is explicit so
     the parquet scan reads only what the operator consumes.
     """
     pruned = transcripts.select("conv_id", "turn_idx", "role", "ts", "text")
-    return pruned.mapInPandas(_extract_batches(rules), schema=EXTRACTED_SCHEMA)
+    return pruned.mapInPandas(
+        _extract_batches(rules, pdf_mode), schema=EXTRACTED_SCHEMA
+    )
 
 
 def ordered_extracted(extracted: DataFrame) -> DataFrame:

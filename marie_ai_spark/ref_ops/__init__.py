@@ -47,17 +47,23 @@ _EXTRACTORS = {
 }
 
 
-def extract_turn(text: str, rules=DEFAULT_RULES) -> dict:
+def extract_turn(text: str, rules=DEFAULT_RULES, pdf_mode: str = "compact") -> dict:
     """Extract one turn: detect kind, route to the kind parser, apply the
     cutpoint keep/drop rules. Mirrors the reference pipeline ordering
     (clean -> parse -> span-select -> reassemble), see SURVEY.md §3.3.
+
+    pdf_mode selects the pdf_words sink: 'compact' (meta_to_text) or
+    'grid' (TextRenderer fixed-grid placement).
 
     Returns {doc_kind, clean_text, spans, n_lines} where spans are
     [(start, end, label, action)] char offsets into the ORIGINAL text.
     """
     text = text or ""
     kind = detect_doc_kind(text)
-    clean_text, spans, n_lines = _EXTRACTORS[kind](text)
+    if kind == "pdf_words":
+        clean_text, spans, n_lines = extract_pdf_words(text, pdf_mode)
+    else:
+        clean_text, spans, n_lines = _EXTRACTORS[kind](text)
     if rules:
         clean_text, spans, n_lines = apply_cutpoint_rules(
             kind, text, clean_text, spans, n_lines, rules

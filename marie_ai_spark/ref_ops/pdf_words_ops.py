@@ -124,9 +124,15 @@ def parse_pdf_payload(text: str) -> list[dict]:
     return [p for p in pages if isinstance(p, dict)]
 
 
-def extract_pdf_words(text: str):
-    """Full path: parse -> per-page line merge -> reassembly with \\f between
-    pages (text_renderer.py:158) -> blank collapse."""
+def extract_pdf_words(text: str, mode: str = "compact"):
+    """Full path: parse -> per-page line merge -> reassembly.
+
+    mode='compact': meta_to_text semantics — stripped lines, \\n join, \\f
+    between pages, blank-run collapse (marie/ocr/util.py:47-103).
+    mode='grid': the TextRenderer fixed-grid sink — words placed at
+    char-cell columns, baseline-delta blank lines, no collapse
+    (marie/renderer/text_renderer.py:28-143; see grid_renderer.py).
+    """
     pages = parse_pdf_payload(text)
     if not pages:
         return "", [], 0
@@ -135,7 +141,13 @@ def extract_pdf_words(text: str):
     for p in sorted(pages, key=lambda p: p.get("page", 0)):
         lines = merge_lines(p.get("words", []))
         n_lines += len(lines)
-        page_texts.append(page_to_text(lines))
-    clean = collapse_blank("\f".join(page_texts))
+        if mode == "grid":
+            from .grid_renderer import render_grid_page
+
+            page_texts.append(render_grid_page(lines, p.get("width", 2550)))
+        else:
+            page_texts.append(page_to_text(lines))
+    joined = "\f".join(page_texts)
+    clean = joined if mode == "grid" else collapse_blank(joined)
     spans = [(0, len(text), "line", "keep")] if clean else []
     return clean, spans, n_lines

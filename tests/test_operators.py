@@ -197,3 +197,31 @@ def test_cosine_neardup_pairs(spark):
     pairs = {(r.vec_a, r.vec_b): r.cos_sim
              for r in cosine_neardup_pairs(emb, threshold=0.9).collect()}
     assert (1, 2) in pairs and len(pairs) == 1
+
+
+def test_markdown_kv_pairs_jvm_side(spark):
+    from marie_ai_spark.operators.regions import markdown_kv_pairs
+
+    tr = spark.createDataFrame(
+        [("c1", 0, "u", "## T\n- **Name:** Ada\n- **Role:** eng\nplain", "", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    rows = markdown_kv_pairs(tr).collect()
+    got = {(r.kv_idx): (r.key, r.value) for r in rows}
+    assert got[0] == ("Name", "Ada")
+    assert got[1] == ("Role", "eng")
+
+
+def test_span_regions_roundtrip(spark):
+    from marie_ai_spark.operators.extract import extract_transcripts
+    from marie_ai_spark.operators.regions import span_regions
+    from marie_ai_spark.sources.transcripts import gen_pandas
+
+    tr = spark.createDataFrame(gen_pandas(20, seed=3))
+    ext = extract_transcripts(tr)
+    regions = span_regions(ext)
+    n_spans = ext.select(F.sum(F.size("spans"))).first()[0]
+    assert regions.count() == n_spans
+    assert set(regions.columns) == {
+        "conv_id", "turn_idx", "region_id", "start", "end", "label", "action"
+    }

@@ -172,3 +172,54 @@ class TestCutpoints:
         )
         assert clean == "A B\nx"  # POSITIVE never deletes
         assert n == 2
+
+
+class TestGridRenderer:
+    def test_grid_placement_and_baselines(self):
+        from marie_ai_spark.ref_ops.grid_renderer import render_grid_page
+        import numpy as np
+
+        lines = [
+            {"line": 1, "bbox": [100, 200, 410, 40],
+             "words": [{"id": 0, "text": "hello", "box": [100, 200, 110, 40]},
+                       {"id": 1, "text": "world", "box": [400, 200, 110, 40]}]},
+            {"line": 2, "bbox": [100, 330, 110, 40],
+             "words": [{"id": 2, "text": "below", "box": [100, 330, 110, 40]}]},
+        ]
+        out = render_grid_page(lines, 2550)
+        rows = out.split("\n")
+        cols = int(2550 // 8.44)
+        bins = np.linspace(0, 2550, cols).astype(np.int32)
+        c100 = int(np.digitize(100, bins, right=True))
+        # 13 leading blank rows: baseline 240 -> cell 15, start cell 1
+        assert rows[:13] == [""] * 13
+        assert rows[13].startswith(" " * c100 + "hello")
+        assert "world" in rows[13]
+        # line 2 baseline 370 -> cell 23: delta 8 -> 7 blank rows between
+        assert rows[14:21] == [""] * 7
+        assert rows[21].lstrip().startswith("below")
+
+    def test_grid_mode_e2e_deterministic(self):
+        import json
+
+        from marie_ai_spark.ref_ops import extract_turn
+
+        payload = json.dumps(
+            {"pages": [
+                {"page": 0, "width": 2550, "height": 3300, "words": [
+                    {"id": 0, "text": "a", "box": [100, 200, 30, 40], "conf": 1.0},
+                    {"id": 1, "text": "b", "box": [400, 203, 30, 40], "conf": 1.0},
+                ]},
+                {"page": 1, "width": 2550, "height": 3300, "words": [
+                    {"id": 2, "text": "c", "box": [100, 200, 30, 40], "conf": 1.0},
+                ]},
+            ]}
+        )
+        r = extract_turn(payload, pdf_mode="grid")
+        assert r["clean_text"].count("\f") == 1
+        assert r["n_lines"] == 2
+        # grid output preserves blank rows (no collapse)
+        assert "\n\n" in r["clean_text"]
+        assert r == extract_turn(payload, pdf_mode="grid")
+        # compact mode unchanged
+        assert extract_turn(payload)["clean_text"] == "a b\fc"
