@@ -20,6 +20,45 @@ from pyspark.sql import functions as F
 DEFAULT_SALT = 16
 
 
+def conversation_text(extracted: DataFrame, chunk_turns: int = 64) -> DataFrame:
+    """Reassemble each conversation's cleaned text in (turn_idx) order —
+    the conversation-level analog of the page->document text rollup.
+
+    This is the holistic aggregation where conv_id skew actually bites
+    (a 10^6-turn conversation would funnel into one reducer), so it runs
+    two-phase with an ORDER-PRESERVING salt: the salt key is the turn-range
+    chunk `turn_idx // chunk_turns`, so phase 1 concatenates each chunk's
+    turns in order (bounded state per group), and phase 2 concatenates the
+    chunks in chunk order. Result is identical to a single ordered
+    concatenation; no group ever exceeds `chunk_turns` turns in phase 1.
+    """
+    chunked = extracted.withColumn(
+        "_chunk", (F.col("turn_idx") / F.lit(chunk_turns)).cast("long")
+    )
+    turn_key = F.struct(F.col("turn_idx"), F.col("clean_text"))
+    partial = chunked.groupBy("conv_id", "_chunk").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(turn_key)),
+                lambda s: s["clean_text"],
+            ),
+            "\n\n",
+        ).alias("chunk_text"),
+        F.count(F.lit(1)).alias("chunk_turns"),
+    )
+    chunk_key = F.struct(F.col("_chunk"), F.col("chunk_text"))
+    return partial.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(chunk_key)),
+                lambda s: s["chunk_text"],
+            ),
+            "\n\n",
+        ).alias("conversation_text"),
+        F.sum("chunk_turns").cast("int").alias("n_turns"),
+    )
+
+
 def conversation_stats(extracted: DataFrame, salt_buckets: int = DEFAULT_SALT) -> DataFrame:
     """Document-level rollup: per conv_id turn/line/char counts and per-kind
     turn counts, salted two-phase."""

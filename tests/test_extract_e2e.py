@@ -104,3 +104,25 @@ def test_conversation_rollup_salted(spark, local_df, oracle):
     assert (merged.n_turns == merged.n_turns_want).all()
     assert (merged.n_lines == merged.n_lines_want).all()
     assert (merged.n_clean_chars == merged.n_clean_chars_want).all()
+
+
+def test_conversation_text_two_phase_order(spark, local_df, oracle):
+    """Two-phase chunked reassembly must equal a driver-side ordered join."""
+    from marie_ai_spark.operators.rollup import conversation_text
+
+    sdf = spark.createDataFrame(local_df)
+    got = {
+        r.conv_id: (r.conversation_text, r.n_turns)
+        for r in conversation_text(
+            extract_transcripts(sdf), chunk_turns=7
+        ).collect()
+    }
+    want = (
+        oracle.sort_values(["conv_id", "turn_idx"])
+        .groupby("conv_id")["clean_text"]
+        .apply(lambda s: "\n\n".join(s))
+    )
+    counts = oracle.groupby("conv_id").size()
+    assert set(got) == set(want.index)
+    for cid, text in want.items():
+        assert got[cid] == (text, counts[cid]), cid
