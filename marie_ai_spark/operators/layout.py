@@ -155,3 +155,57 @@ def reassemble_text(lines: DataFrame) -> DataFrame:
 def pdf_layout_pipeline(transcripts: DataFrame) -> DataFrame:
     """Full relational path: parse -> line-assign -> assemble -> reassemble."""
     return reassemble_text(assemble_lines(assign_lines(parse_words(transcripts))))
+
+
+def xywh_to_xyxy(box):
+    """P1 coordinate conversion (marie/ocr/coordinate_format.py:24-55):
+    array<int> [x,y,w,h] -> [x1,y1,x2,y2], pure column transform."""
+    return F.array(
+        box[0], box[1], box[0] + box[2], box[1] + box[3]
+    )
+
+
+def quantize_boxes(words: DataFrame, buckets: int = 99) -> DataFrame:
+    """F9 LMDX coordinate quantization (marie/extract/lmdx/pipeline.py:36-51):
+    box centers scaled into 0..buckets for prompt encoding. Requires the
+    page width/height columns or uses the stored word columns directly."""
+    cx = F.col("x") + F.col("wd") / 2
+    cy = F.col("y") + F.col("ht") / 2
+    return words.withColumn(
+        "qx", F.floor(cx * buckets / F.lit(2550)).cast("int")
+    ).withColumn("qy", F.floor(cy * buckets / F.lit(3300)).cast("int"))
+
+
+def words_in_region(words: DataFrame, x1: float, y1: float, x2: float,
+                    y2: float) -> DataFrame:
+    """J5 spatial (R-tree style) range query as a predicate — box
+    intersection with the query window
+    (marie/extract/structures/unstructured_document.py:83-94). At scale
+    this is a partition-pruned filter, not an index probe: the words table
+    is clustered by (conv_id, turn_idx, page), so the predicate runs
+    page-locally at scan speed."""
+    return words.filter(
+        (F.col("x") < F.lit(x2))
+        & (F.col("x") + F.col("wd") > F.lit(x1))
+        & (F.col("y") < F.lit(y2))
+        & (F.col("y") + F.col("ht") > F.lit(y1))
+    )
+
+
+def knn_words(words: DataFrame, qx: float, qy: float, k: int = 5) -> DataFrame:
+    """J5 kNN per page: k nearest word boxes to a query point by center
+    distance — window row_number over distance, page-local
+    (unstructured_document.py:96-106)."""
+    cx = F.col("x") + F.col("wd") / 2
+    cy = F.col("y") + F.col("ht") / 2
+    dist = F.sqrt(
+        (cx - F.lit(qx)) * (cx - F.lit(qx)) + (cy - F.lit(qy)) * (cy - F.lit(qy))
+    )
+    w = Window.partitionBy("conv_id", "turn_idx", "page").orderBy(
+        F.asc("dist"), F.asc("word_id")
+    )
+    return (
+        words.withColumn("dist", F.round(dist, 4))
+        .withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+    )

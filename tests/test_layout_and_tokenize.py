@@ -85,3 +85,35 @@ def test_voting_prefers_richer_variant(spark, transcripts):
     # turns must pick it (more lines) under the (n_lines, len) score
     boiler = best.filter(F.col("clean_text").contains("BEGIN BOILERPLATE"))
     assert boiler.filter(F.col("variant") != "no_rules").count() == 0
+
+
+def test_geometry_helpers(spark, transcripts):
+    from marie_ai_spark.operators.layout import (
+        knn_words,
+        parse_words,
+        quantize_boxes,
+        words_in_region,
+        xywh_to_xyxy,
+    )
+
+    words = parse_words(transcripts)
+    one = words.select(
+        "x", "y", "wd", "ht", xywh_to_xyxy(
+            F.array("x", "y", "wd", "ht")).alias("xyxy")
+    ).first()
+    assert one.xyxy == [one.x, one.y, one.x + one.wd, one.y + one.ht]
+
+    q = quantize_boxes(words).select("qx", "qy").toPandas()
+    assert q.qx.between(0, 99).all() and q.qy.between(0, 99).all()
+
+    region = words_in_region(words, 0, 0, 400, 260).toPandas()
+    assert len(region) > 0
+    assert (region.x < 400).all() and (region.y < 260).all()
+
+    knn = knn_words(words, 100, 200, k=3)
+    grp = knn.groupBy("conv_id", "turn_idx", "page").count().toPandas()
+    assert (grp["count"] <= 3).all()
+    # rank 1 is the closest: distance non-decreasing with rank
+    pdfk = knn.toPandas().sort_values(["conv_id", "turn_idx", "page", "knn_rank"])
+    for _, g in pdfk.groupby(["conv_id", "turn_idx", "page"]):
+        assert list(g.dist) == sorted(g.dist)
