@@ -249,6 +249,21 @@ def q_conversation_rollup(spark, sf):
     return conversation_stats(extract_transcripts(tr))
 
 
+def q_media_decode(spark, sf):
+    """Multimodal plumbing: binary media column -> decoded metadata via the
+    Arrow-batched stub codec (rows-only; synthetic assets)."""
+    from marie_ai_spark.operators.multimodal import decode_media, gen_media
+
+    return decode_media(gen_media(spark, n_assets=200, seed=42))
+
+
+def q_media_frames(spark, sf):
+    """Video frame-sampling fan-out (JVM-side sequence+posexplode)."""
+    from marie_ai_spark.operators.multimodal import gen_media, sample_frames
+
+    return sample_frames(gen_media(spark, n_assets=200, seed=42), every_k=8)
+
+
 def q_span_regions(spark, sf):
     """Normalized regions side table + per-role rollup (rows-only)."""
     from marie_ai_spark.operators.regions import region_role_counts
@@ -295,6 +310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conversation_rollup": q_conversation_rollup,
         "q_span_regions": q_span_regions,
         "q_markdown_kv": q_markdown_kv,
+        "q_media_decode": q_media_decode,
+        "q_media_frames": q_media_frames,
     }
 
 

@@ -1,0 +1,69 @@
+"""Multimodal plumbing: schemas, Arrow batch shapes, deterministic stub
+decode, frame sampling fan-out."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from marie_ai_spark.operators.multimodal import (
+    EMBED_DIM,
+    decode_media,
+    gen_media,
+    media_embeddings,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return gen_media(spark, n_assets=60, seed=9).cache()
+
+
+def test_media_schema_and_kinds(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_decode_stub_deterministic(spark, media):
+    d1 = decode_media(media).toPandas().sort_values("asset_id")
+    d2 = decode_media(media).toPandas().sort_values("asset_id")
+    assert (d1.values == d2.values).all()
+    assert d1.ok.all()
+    img = d1[d1.kind == "image"]
+    assert (img.n_frames == 1).all()
+    assert img.width.between(64, 320).all()
+
+
+def test_decode_real_media_is_marked_stub(spark):
+    fake_real = spark.createDataFrame(
+        [("x", "image", bytearray(b"\x89PNG\r\n..."),
+          {"width": 1, "height": 1, "sample_rate": 0, "n_frames": 1,
+           "mime": "image/png"})],
+        "asset_id string, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>",
+    )
+    out = decode_media(fake_real).collect()
+    assert out[0].ok is False  # NotImplementedError captured per-asset
+
+
+def test_media_embeddings_shape(media):
+    emb = media_embeddings(media)
+    rows = emb.collect()
+    assert len(rows) == media.count()
+    assert all(len(r.embedding) == EMBED_DIM for r in rows)
+    assert all(-1.0 <= v < 1.0 for r in rows for v in r.embedding)
+
+
+def test_sample_frames_fanout(media):
+    frames = sample_frames(media, every_k=8)
+    pdf = frames.toPandas()
+    assert (pdf.frame_idx % 8 == 0).all()
+    per_asset = pdf.groupby("asset_id").agg(
+        n=("frame_idx", "size"), nf=("n_frames", "first")
+    )
+    for _, row in per_asset.iterrows():
+        assert row.n == (row.nf - 1) // 8 + 1
+    # only videos fan out
+    kinds = media.filter(F.col("kind") != "video").select("asset_id").collect()
+    assert not set(r.asset_id for r in kinds) & set(pdf.asset_id)
