@@ -32,10 +32,12 @@ class _Walker(HTMLParser):
         super().__init__(convert_charrefs=False)
         self.raw = raw
         # absolute offset of the start of each source line, for getpos() math
-        self._line_starts = [0]
-        for i, ch in enumerate(raw):
-            if ch == "\n":
-                self._line_starts.append(i + 1)
+        starts = [0]
+        pos = 0
+        for seg in raw.split("\n")[:-1]:
+            pos += len(seg) + 1
+            starts.append(pos)
+        self._line_starts = starts
         self.stack: list[str] = []
         # segments: (start, end, text, skip_depth>0, chrome_key or None, in_link)
         self.segments = []

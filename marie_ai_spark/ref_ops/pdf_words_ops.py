@@ -70,20 +70,34 @@ def merge_lines(words: list[dict]) -> list[dict]:
                                               w["box"][2], w["box"][3], w["id"]))
     ]
     for thr in IOU_CASCADE:
-        stable = 0
-        while stable < 2:  # two consecutive no-change passes, :128-141
+        # the reference stops after two consecutive no-change passes
+        # (:128-141); our pass is a deterministic function of the cluster
+        # list, so a second verification pass over unchanged clusters is
+        # provably identical — exit on the first no-change pass instead
+        # (same fixpoint, ~2.5x fewer scans)
+        changed = True
+        max_viou = 0.0
+        while changed:
             changed = False
+            max_viou = 0.0
             clusters.sort(key=lambda c: (c["bbox"][1], c["bbox"][0]))
             out = []
             for c in clusters:
-                if out and vertical_iou(out[-1]["bbox"], c["bbox"]) >= thr:
-                    out[-1]["bbox"] = merge_bbox(out[-1]["bbox"], c["bbox"])
-                    out[-1]["words"].extend(c["words"])
-                    changed = True
-                else:
-                    out.append(c)
+                if out:
+                    v = vertical_iou(out[-1]["bbox"], c["bbox"])
+                    if v >= thr:
+                        out[-1]["bbox"] = merge_bbox(out[-1]["bbox"], c["bbox"])
+                        out[-1]["words"].extend(c["words"])
+                        changed = True
+                        continue
+                    if v > max_viou:
+                        max_viou = v
+                out.append(c)
             clusters = out
-            stable = 0 if changed else stable + 1
+        # no remaining (lower) threshold can merge if every neighbor
+        # overlap is below the cascade floor — output-equivalent early exit
+        if max_viou < IOU_CASCADE[-1]:
+            break
 
     # contained-cluster removal is a no-op here (clusters are disjoint in y
     # after the cascade); keep the y-sort and assign 1-based line ids

@@ -223,3 +223,67 @@ class TestGridRenderer:
         assert r == extract_turn(payload, pdf_mode="grid")
         # compact mode unchanged
         assert extract_turn(payload)["clean_text"] == "a b\fc"
+
+
+class TestMergeCascadeEquivalence:
+    def test_optimized_cascade_equals_two_pass_reference(self):
+        """Differential property test: the early-exit cascade must produce
+        identical clusters to a direct transcription of the reference's
+        two-consecutive-no-change-pass loop, on seeded random boxes with
+        heavy overlap."""
+        import random
+
+        from marie_ai_spark.ref_ops.pdf_words_ops import (
+            IOU_CASCADE,
+            merge_bbox,
+            merge_lines,
+            vertical_iou,
+        )
+
+        def reference_merge(words):
+            clusters = [
+                {"bbox": list(w["box"]), "words": [w]}
+                for w in sorted(
+                    words,
+                    key=lambda w: (w["box"][1], w["box"][0], w["box"][2],
+                                   w["box"][3], w["id"]),
+                )
+            ]
+            for thr in IOU_CASCADE:
+                stable = 0
+                while stable < 2:
+                    changed = False
+                    clusters.sort(key=lambda c: (c["bbox"][1], c["bbox"][0]))
+                    out = []
+                    for c in clusters:
+                        if out and vertical_iou(out[-1]["bbox"], c["bbox"]) >= thr:
+                            out[-1]["bbox"] = merge_bbox(out[-1]["bbox"], c["bbox"])
+                            out[-1]["words"].extend(c["words"])
+                            changed = True
+                        else:
+                            out.append(c)
+                    clusters = out
+                    stable = 0 if changed else stable + 1
+            clusters.sort(key=lambda c: (c["bbox"][1], c["bbox"][0]))
+            return [
+                (tuple(c["bbox"]), tuple(sorted(w["id"] for w in c["words"])))
+                for c in clusters
+            ]
+
+        rng = random.Random(99)
+        for _ in range(300):
+            words = [
+                {
+                    "id": i,
+                    "text": f"w{i}",
+                    "box": [rng.randint(0, 400), rng.randint(0, 200),
+                            rng.randint(5, 90), rng.randint(5, 70)],
+                    "conf": 1.0,
+                }
+                for i in range(rng.randint(1, 35))
+            ]
+            got = [
+                (tuple(l["bbox"]), tuple(sorted(l["wordids"])))
+                for l in merge_lines(words)
+            ]
+            assert got == reference_merge(words)
