@@ -62,6 +62,19 @@ def run_extract(
     if not todo:
         return {"run_id": run_id, "processed": 0, "skipped": len(done), "rows_out": 0}
 
+    # attempt = 1 + number of prior (failed) attempts for this run's buckets,
+    # the analog of the scheduler's retry_count (marie/scheduler/fixtures.py:48)
+    from .lineage import read_lineage
+
+    prior = (
+        read_lineage(spark, lineage_path)
+        .filter(F.col("run_id") == run_id)
+        .groupBy("partition_id")
+        .agg(F.max("attempt").alias("max_attempt"))
+        .collect()
+    )
+    prior_attempts = {r["partition_id"]: r["max_attempt"] for r in prior}
+
     started = datetime.now(timezone.utc).replace(tzinfo=None)
     pending = transcripts.withColumn("_bucket", bucket_col(n_buckets)).filter(
         F.col("_bucket").isin(todo)
@@ -74,13 +87,38 @@ def run_extract(
     extracted = extract_transcripts(pending, rules).withColumn(
         "_bucket", bucket_col(n_buckets)
     )
-    (
-        extracted.sortWithinPartitions("conv_id", "turn_idx")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_bucket")
-        .parquet(extracted_path)
-    )
+    try:
+        (
+            extracted.sortWithinPartitions("conv_id", "turn_idx")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(extracted_path)
+        )
+    except Exception:
+        # record the failed attempt so the next invocation retries these
+        # buckets with attempt+1 (partial files are replaced by the dynamic
+        # partition overwrite on retry — no duplicates possible)
+        failed_at = datetime.now(timezone.utc).replace(tzinfo=None)
+        append_lineage(
+            spark,
+            lineage_path,
+            [
+                {
+                    "run_id": run_id,
+                    "partition_id": int(b),
+                    "status": "failed",
+                    "rows_in": int(rows_in.get(b, 0)),
+                    "rows_out": 0,
+                    "checksum": "",
+                    "started_at": started,
+                    "completed_at": failed_at,
+                    "attempt": prior_attempts.get(b, 0) + 1,
+                }
+                for b in todo
+            ],
+        )
+        raise
 
     # metrics from what actually landed on disk
     written = spark.read.parquet(extracted_path).filter(F.col("_bucket").isin(todo))
@@ -99,7 +137,7 @@ def run_extract(
                 "checksum": metrics[b]["checksum"] if b in metrics else "0",
                 "started_at": started,
                 "completed_at": completed,
-                "attempt": 1,
+                "attempt": prior_attempts.get(b, 0) + 1,
             }
             for b in todo
         ],

@@ -80,3 +80,31 @@ def test_bucket_checksums_deterministic(spark, paths):
     assert {int(k): v for k, v in chk.items()} == {
         int(k): v for k, v in lin_chk.items()
     }
+
+
+def test_failed_attempt_recorded_then_retry_succeeds(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(gen_pandas(30, seed=21)).write.parquet(inp)
+
+    bad_rules = [{
+        "rule_id": "boom", "doc_kind": "plain", "kind": "regex",
+        "start_expr": "(unclosed", "stop_expr": None,
+        "selection_type": "NEGATION", "label": "x",
+    }]
+    with pytest.raises(Exception):
+        run_extract(spark, inp, out, run_id="r-f", n_buckets=4, rules=bad_rules)
+
+    lin = spark.read.parquet(f"{out}/lineage").toPandas()
+    assert (lin.status == "failed").all()
+    assert (lin.attempt == 1).all()
+
+    # retry with good rules: all buckets reprocessed, attempt=2, no dups
+    r = run_extract(spark, inp, out, run_id="r-f", n_buckets=4)
+    assert r["processed"] == 4
+    lin2 = spark.read.parquet(f"{out}/lineage").toPandas()
+    done = lin2[lin2.status == "done"]
+    assert (done.attempt == 2).all() and len(done) == 4
+    n_in = spark.read.parquet(inp).count()
+    ext = read_extracted(spark, out)
+    assert ext.count() == n_in
