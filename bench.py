@@ -47,6 +47,8 @@ HEADLINE = [
     "q_conversation_rollup",
     "q_span_regions",
     "q_markdown_kv",
+    "q_media_decode",
+    "q_media_frames",
 ]
 
 
