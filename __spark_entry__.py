@@ -20,7 +20,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from marie_ai_spark.operators import annotate, dedup, sessions, similarity, textstats
+from marie_ai_spark.operators import (
+    annotate,
+    dedup,
+    relational,
+    sessions,
+    similarity,
+    textstats,
+)
 from marie_ai_spark.operators.extract import extract_transcripts, ordered_extracted
 from marie_ai_spark.operators.rollup import conversation_stats
 from marie_ai_spark.sources.transcripts import gen_spark
@@ -197,6 +204,46 @@ def q_embed_topk(spark, sf):
     )
 
 
+def q_anti_join(spark, sf):
+    return relational.customers_without_orders(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
+
+
+def q_semi_join(spark, sf):
+    return relational.customers_with_urgent_orders(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
+
+
+def q_rollup(spark, sf):
+    return relational.priority_status_rollup(_t(spark, sf, "orders"))
+
+
+def q_event_pivot(spark, sf):
+    return relational.user_event_pivot(_t(spark, sf, "events"))
+
+
+def q_percentiles(spark, sf):
+    return relational.quantity_percentiles(_t(spark, sf, "lineitem"))
+
+
+def q_running_revenue(spark, sf):
+    return relational.running_customer_revenue(_t(spark, sf, "orders"))
+
+
+def q_monthly_volume(spark, sf):
+    return relational.monthly_order_volume(_t(spark, sf, "orders"))
+
+
+def q_cheapest_supplier(spark, sf):
+    return relational.cheapest_supplier_per_part(_t(spark, sf, "lineitem"))
+
+
+def q_sql_nation_revenue(spark, sf):
+    return relational.revenue_by_nation_sql(spark, sf)
+
+
 def q_annotate_regex(spark, sf):
     return annotate.annotate_regex(_t(spark, sf, "documents"))
 
@@ -302,6 +349,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_lang_profile": q_lang_profile,
         "q_embed_topk": q_embed_topk,
+        "q_anti_join": q_anti_join,
+        "q_semi_join": q_semi_join,
+        "q_rollup": q_rollup,
+        "q_event_pivot": q_event_pivot,
+        "q_percentiles": q_percentiles,
+        "q_running_revenue": q_running_revenue,
+        "q_monthly_volume": q_monthly_volume,
+        "q_cheapest_supplier": q_cheapest_supplier,
+        "q_sql_nation_revenue": q_sql_nation_revenue,
         "q_annotate_regex": q_annotate_regex,
         "q_classify_vote": q_classify_vote,
         "q_embed_neardup": q_embed_neardup,
@@ -572,6 +628,81 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY cos_sim DESC, e.vec_id
             LIMIT 10
+        """,
+        "q_anti_join": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            )
+        """,
+        "q_semi_join": """
+            SELECT c_custkey, c_name
+            FROM customer
+            WHERE EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+            )
+        """,
+        "q_rollup": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+                   coalesce(o_orderstatus, 'ALL') AS status,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "q_event_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY user_id
+        """,
+        "q_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+                   round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+                   round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_running_revenue": """
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 2) AS running_total,
+                   row_number() OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ) AS order_seq
+            FROM orders
+        """,
+        "q_monthly_volume": """
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        """,
+        "q_cheapest_supplier": """
+            SELECT l_partkey, l_suppkey, round(l_extendedprice, 2) AS min_price
+            FROM (
+                SELECT l_partkey, l_suppkey, l_extendedprice,
+                       row_number() OVER (
+                           PARTITION BY l_partkey
+                           ORDER BY l_extendedprice, l_suppkey, l_orderkey,
+                                    l_linenumber
+                       ) AS rn
+                FROM lineitem
+            ) WHERE rn = 1
+        """,
+        "q_sql_nation_revenue": """
+            SELECT n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "q_annotate_regex": """
             WITH r(rule, pattern, value_type) AS (

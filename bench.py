@@ -39,6 +39,15 @@ HEADLINE = [
     "q_fingerprint",
     "q_lang_profile",
     "q_embed_topk",
+    "q_anti_join",
+    "q_semi_join",
+    "q_rollup",
+    "q_event_pivot",
+    "q_percentiles",
+    "q_running_revenue",
+    "q_monthly_volume",
+    "q_cheapest_supplier",
+    "q_sql_nation_revenue",
     "q_annotate_regex",
     "q_classify_vote",
     "q_embed_neardup",
