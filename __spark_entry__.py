@@ -311,6 +311,19 @@ def q_media_frames(spark, sf):
     return sample_frames(gen_media(spark, n_assets=200, seed=42), every_k=8)
 
 
+def q_extract_continuation(spark, sf):
+    """Conversation-aware extraction: cutpoint sections stay open across
+    turn boundaries (three-pass stateful plan; rows-only check — the
+    conversation-level equality gate lives in tests/test_continuation.py)."""
+    from marie_ai_spark.operators.continuation import extract_with_continuation
+
+    n_convs = 400 if "0.1" in sf else 100
+    tr = gen_spark(spark, n_convs, seed=42)
+    return ordered_extracted(extract_with_continuation(tr)).select(
+        "conv_id", "turn_idx", "doc_kind", "clean_text", "n_lines"
+    )
+
+
 def q_span_regions(spark, sf):
     """Normalized regions side table + per-role rollup (rows-only)."""
     from marie_ai_spark.operators.regions import region_role_counts
@@ -363,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup": q_embed_neardup,
         "q_extract_transcripts": q_extract_transcripts,
         "q_extract_grid": q_extract_grid,
+        "q_extract_continuation": q_extract_continuation,
         "q_conversation_rollup": q_conversation_rollup,
         "q_span_regions": q_span_regions,
         "q_markdown_kv": q_markdown_kv,

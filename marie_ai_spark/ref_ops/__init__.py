@@ -22,12 +22,22 @@ from .detect import detect_doc_kind
 from .html_extract import extract_html
 from .markdown_ops import extract_markdown
 from .pdf_words_ops import extract_pdf_words
-from .spans_engine import DEFAULT_RULES, apply_cutpoint_rules
+from .spans_engine import (
+    DEFAULT_RULES,
+    apply_cutpoint_rules,
+    apply_cutpoint_rules_stateful,
+    evolve_open_state,
+    turn_rule_events,
+)
 from .textutil import collapse_blank, extract_plain, extract_tool_log
 
 __all__ = [
     "detect_doc_kind",
     "extract_turn",
+    "extract_turn_stateful",
+    "extract_conversation",
+    "turn_rule_events",
+    "evolve_open_state",
     "extract_html",
     "extract_markdown",
     "extract_pdf_words",
@@ -74,3 +84,53 @@ def extract_turn(text: str, rules=DEFAULT_RULES, pdf_mode: str = "compact") -> d
         "spans": spans,
         "n_lines": n_lines,
     }
+
+
+def extract_turn_stateful(
+    text: str, rules=DEFAULT_RULES, entry_open=frozenset(), pdf_mode="compact"
+):
+    """Like extract_turn but with cross-turn continuation state. Returns
+    (result dict, exit_open frozenset)."""
+    text = text or ""
+    kind = detect_doc_kind(text)
+    if kind == "pdf_words":
+        clean_text, spans, n_lines = extract_pdf_words(text, pdf_mode)
+    else:
+        clean_text, spans, n_lines = _EXTRACTORS[kind](text)
+    exit_open = frozenset(entry_open)
+    if rules:
+        clean_text, spans, n_lines, exit_open = apply_cutpoint_rules_stateful(
+            kind, text, clean_text, spans, n_lines, rules, entry_open
+        )
+    return (
+        {
+            "doc_kind": kind,
+            "clean_text": clean_text,
+            "spans": spans,
+            "n_lines": n_lines,
+        },
+        exit_open,
+    )
+
+
+def turn_events_for_text(text: str, rules=DEFAULT_RULES) -> dict:
+    """Lightweight per-turn continuation-event summary for the distributed
+    state scan: only line-kind turns can carry cutpoint markers, so the
+    expensive html/pdf parsers are never run here."""
+    text = text or ""
+    kind = detect_doc_kind(text)
+    if kind not in ("plain", "markdown"):
+        return {}
+    clean_text, spans, _n = _EXTRACTORS[kind](text)
+    return turn_rule_events(kind, clean_text, spans, rules)
+
+
+def extract_conversation(texts, rules=DEFAULT_RULES, pdf_mode="compact"):
+    """Driver-side conversation-level oracle: extract turns IN ORDER,
+    threading the continuation state. `texts` must be ordered by turn_idx."""
+    open_rules = frozenset()
+    out = []
+    for t in texts:
+        r, open_rules = extract_turn_stateful(t, rules, open_rules, pdf_mode)
+        out.append(r)
+    return out

@@ -197,6 +197,27 @@ def turn_kind(conv_id: str, turn_idx: int, seed: int = 42) -> str:
     return "tool_log"
 
 
+def _plain_nonempty(cid: str, turn_idx: int, seed: int) -> bool:
+    return (
+        _u01("empty", seed, cid, turn_idx) >= 0.02
+        and turn_kind(cid, turn_idx, seed) == "plain"
+    )
+
+
+def crosses_turn_boundary(conv_index: int, turn_idx: int, seed: int = 42) -> bool:
+    """True when turn_idx opens a boilerplate section that closes in
+    turn_idx+1 (both plain, both non-empty) — exercises the cross-turn
+    continuation semantics (reference continuation strategy,
+    marie/extract/continuation/default_continuation.py)."""
+    cid = conv_id_of(conv_index)
+    return (
+        turn_idx + 1 < conv_length(conv_index, seed)
+        and _plain_nonempty(cid, turn_idx, seed)
+        and _plain_nonempty(cid, turn_idx + 1, seed)
+        and _u01("xturn", seed, cid, turn_idx) < 0.05
+    )
+
+
 def gen_turn(conv_index: int, turn_idx: int, seed: int = 42) -> dict:
     """Fully deterministic single-turn row."""
     cid = conv_id_of(conv_index)
@@ -210,6 +231,21 @@ def gen_turn(conv_index: int, turn_idx: int, seed: int = 42) -> dict:
         text = ""
     else:
         text = _KIND_GEN[turn_kind(cid, turn_idx, seed)](rng)
+        # cross-turn boilerplate: a dangling BEGIN at the end of this turn
+        # and/or the closing END at the start (separate rng stream so the
+        # base payload bytes are unchanged)
+        if crosses_turn_boundary(conv_index, turn_idx, seed):
+            xr = random.Random(_seed("xjunk", seed, cid, turn_idx))
+            tail = ["BEGIN BOILERPLATE"] + [
+                _sentence(xr, 3, 6) for _ in range(xr.randint(1, 2))
+            ]
+            text = text + "\n" + "\n".join(tail)
+        if turn_idx > 0 and crosses_turn_boundary(conv_index, turn_idx - 1, seed):
+            xr = random.Random(_seed("xjunk2", seed, cid, turn_idx))
+            head = [
+                _sentence(xr, 3, 6) for _ in range(xr.randint(1, 2))
+            ] + ["END BOILERPLATE"]
+            text = "\n".join(head) + "\n" + text
 
     tool = rng.choice(TOOLS) if role == "tool" else ""
     ts = EPOCH + timedelta(seconds=conv_index * 211 + turn_idx * 17)
