@@ -53,6 +53,7 @@ HEADLINE = [
     "q_embed_neardup",
     "q_extract_transcripts",
     "q_extract_grid",
+    "q_extract_continuation",
     "q_conversation_rollup",
     "q_span_regions",
     "q_markdown_kv",

@@ -74,3 +74,60 @@ def test_streaming_windowed_rollup_matches_batch(spark, dirs):
         for r in closed.groupBy("role").agg(F.count("*").alias("n")).collect()
     }
     assert {r.role: r.n for r in got} == want
+
+
+def test_stateful_conversation_progress(spark, tmp_path):
+    """applyInPandasWithState: per-conversation running state across two
+    micro-batches with checkpointed offsets."""
+    from marie_ai_spark.sources.transcripts import TRANSCRIPTS_DDL
+    from marie_ai_spark.streaming.stateful import conversation_progress
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "state_out")
+    b1 = gen_pandas(15, seed=4)
+    spark.createDataFrame(b1).write.mode("append").parquet(inp)
+
+    def drain():
+        # foreachBatch parquet sink: supports checkpoint recovery (memory
+        # sink does not), so state carries across query restarts
+        stream = spark.readStream.schema(TRANSCRIPTS_DDL).parquet(inp)
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            conversation_progress(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        pdf = spark.read.parquet(out).toPandas()
+        latest = pdf.sort_values(["batch_id", "n_turns"]).groupby("conv_id").last()
+        return {
+            cid: (r.n_turns, r.max_turn, r.n_chars)
+            for cid, r in latest.iterrows()
+        }
+
+    got1 = drain()
+    want1 = b1.groupby("conv_id").agg(
+        n=("turn_idx", "size"), mx=("turn_idx", "max"),
+        ch=("text", lambda s: sum(len(x) for x in s)),
+    )
+    for cid, row in want1.iterrows():
+        assert got1[cid] == (row.n, row.mx, row.ch), cid
+
+    # second batch: more turns for the same conversations accumulate state
+    b2 = gen_pandas(15, seed=4).assign(
+        turn_idx=lambda d: (d.turn_idx + 1000).astype("int32")
+    )
+    spark.createDataFrame(b2).write.mode("append").parquet(inp)
+    got2 = drain()
+    for cid, row in want1.iterrows():
+        assert got2[cid][0] == 2 * row.n  # state carried across batches
+        assert got2[cid][1] >= 1000
