@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators.extract import extract_transcripts
 from ..ref_ops import DEFAULT_RULES
+from ..sources.tables import TableIO
 from .lineage import (
     append_lineage,
     bucket_col,
@@ -43,18 +44,22 @@ def run_extract(
     n_buckets: int = 32,
     max_buckets: int | None = None,
     rules=DEFAULT_RULES,
+    backend: str = "parquet",
 ) -> dict:
     """Run (or resume) an extraction over `input_path` transcripts.
 
     max_buckets limits how many pending buckets this invocation processes —
     used by tests to simulate a mid-run failure before resume.
+    `backend` selects the TableIO storage seam (parquet here; iceberg on a
+    cluster with the catalog configured).
     Returns run metadata {run_id, processed, skipped, rows_out}.
     """
     run_id = run_id or new_run_id()
+    io = TableIO(spark, backend=backend)
     extracted_path = f"{out_dir}/extracted"
     lineage_path = f"{out_dir}/lineage"
 
-    transcripts = spark.read.parquet(input_path)
+    transcripts = io.read(input_path)
     done = done_partitions(spark, lineage_path, run_id)
     todo = [b for b in range(n_buckets) if b not in done]
     if max_buckets is not None:
@@ -88,12 +93,10 @@ def run_extract(
         "_bucket", bucket_col(n_buckets)
     )
     try:
-        (
-            extracted.sortWithinPartitions("conv_id", "turn_idx")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_bucket")
-            .parquet(extracted_path)
+        io.overwrite_partitions(
+            extracted.sortWithinPartitions("conv_id", "turn_idx"),
+            extracted_path,
+            "_bucket",
         )
     except Exception:
         # record the failed attempt so the next invocation retries these
