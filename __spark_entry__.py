@@ -196,6 +196,22 @@ def q_lang_profile(spark, sf):
     return textstats.language_profile(_t(spark, sf, "documents"))
 
 
+def q_lang_id(spark, sf):
+    return textstats.lang_id_ngram(_t(spark, sf, "documents"), top_k=50)
+
+
+def q_training_pipeline(spark, sf):
+    """Composed training-data pipeline (extract -> quality -> exact+near
+    dedup -> tokenize -> chunk); rows-only (pandas-UDF stages)."""
+    from marie_ai_spark.plans.training_pipeline import build_training_set
+
+    n_convs = 400 if "0.1" in sf else 100
+    tr = gen_spark(spark, n_convs, seed=42)
+    return build_training_set(tr).select(
+        "conv_id", "turn_idx", "chunk_idx", "chunk_len"
+    )
+
+
 def q_embed_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -361,6 +377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": q_quality_score,
         "q_fingerprint": q_fingerprint,
         "q_lang_profile": q_lang_profile,
+        "q_lang_id": q_lang_id,
+        "q_training_pipeline": q_training_pipeline,
         "q_embed_topk": q_embed_topk,
         "q_anti_join": q_anti_join,
         "q_semi_join": q_semi_join,
@@ -642,6 +660,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY cos_sim DESC, e.vec_id
             LIMIT 10
+        """,
+        "q_lang_id": """
+            WITH norm AS (
+                SELECT doc_id, lang,
+                       lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                FROM documents
+                WHERE length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) >= 3
+            ),
+            grams AS (
+                SELECT doc_id, lang,
+                       unnest([t[i:i+2] for i in range(1, len(t) - 1)]) AS g
+                FROM norm
+            ),
+            profile AS (
+                SELECT lang AS p_lang, g, rank FROM (
+                    SELECT lang, g, count(*) AS cnt,
+                           row_number() OVER (
+                               PARTITION BY lang ORDER BY count(*) DESC, g
+                           ) AS rank
+                    FROM grams GROUP BY lang, g
+                ) WHERE rank <= 50
+            ),
+            doc_grams AS (
+                SELECT DISTINCT doc_id, lang, g FROM grams
+            ),
+            scored AS (
+                SELECT doc_id, lang, p_lang, sum(51 - rank) AS score
+                FROM doc_grams JOIN profile USING (g)
+                GROUP BY doc_id, lang, p_lang
+            )
+            SELECT doc_id, lang AS actual_lang, p_lang AS predicted_lang, score
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, p_lang
+                ) AS rn
+                FROM scored
+            ) WHERE rn = 1
         """,
         "q_anti_join": """
             SELECT c_custkey, c_name, c_mktsegment

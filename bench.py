@@ -38,6 +38,7 @@ HEADLINE = [
     "q_quality_score",
     "q_fingerprint",
     "q_lang_profile",
+    "q_lang_id",
     "q_embed_topk",
     "q_anti_join",
     "q_semi_join",
@@ -57,6 +58,7 @@ HEADLINE = [
     "q_conversation_rollup",
     "q_span_regions",
     "q_markdown_kv",
+    "q_training_pipeline",
     "q_media_decode",
     "q_media_frames",
 ]
