@@ -220,6 +220,18 @@ def q_embed_topk(spark, sf):
     )
 
 
+def q_embed_ivf_topk(spark, sf):
+    """IVF ANN scale path with full probe (nprobe = n_centroids): result is
+    exactly the brute-force top-k, so it shares the q_embed_topk oracle's
+    semantics but exercises the cell-assignment/probe plan (rows-only)."""
+    emb = _t(spark, sf, "embeddings")
+    cents = similarity.train_ivf_centroids(emb, n_centroids=8, iters=3)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") != 0), qv, cents, k=10, nprobe=8
+    )
+
+
 def q_anti_join(spark, sf):
     return relational.customers_without_orders(
         _t(spark, sf, "customer"), _t(spark, sf, "orders")
@@ -380,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_training_pipeline": q_training_pipeline,
         "q_embed_topk": q_embed_topk,
+        "q_embed_ivf_topk": q_embed_ivf_topk,
         "q_anti_join": q_anti_join,
         "q_semi_join": q_semi_join,
         "q_rollup": q_rollup,
@@ -648,6 +661,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "q_embed_topk": """
+            WITH q AS (
+                SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+            )
+            SELECT e.vec_id,
+                   round(
+                     list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                     (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> 0
+            ORDER BY cos_sim DESC, e.vec_id
+            LIMIT 10
+        """,
+        # full-probe IVF is exactly brute-force top-k -> same oracle
+        "q_embed_ivf_topk": """
             WITH q AS (
                 SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
             )

@@ -40,6 +40,7 @@ HEADLINE = [
     "q_lang_profile",
     "q_lang_id",
     "q_embed_topk",
+    "q_embed_ivf_topk",
     "q_anti_join",
     "q_semi_join",
     "q_rollup",

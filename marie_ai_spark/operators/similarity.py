@@ -108,3 +108,83 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame, n_centroids: int = 16, iters: int = 5,
+    sample_size: int = 2048,
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means on a deterministic sample.
+
+    The sample (lowest vec_ids) is tiny and driver-side by design — the
+    quantizer is index METADATA, like the planes of the hyperplane LSH;
+    the data-scale work (assignment, probing) stays distributed.
+    Deterministic: init = first k sample vectors, fixed iteration count,
+    ties broken by centroid index.
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([list(r.embedding) for r in rows], dtype="float64")
+    k = min(n_centroids, len(x))
+    cent = x[:k].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            m = x[assign == c]
+            if len(m):
+                cent[c] = m.mean(axis=0)
+    return [[float(v) for v in row] for row in cent]
+
+
+def _nearest_centroid_col(centroids: list[list[float]]):
+    """argmin squared-distance over centroid literals, JVM-side: build an
+    array of (dist, cell) structs and take array_min (struct ordering
+    compares dist first, then cell — deterministic ties)."""
+    v = F.col("embedding").cast("array<double>")
+    cells = []
+    for ci, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        cells.append(F.struct(d.alias("dist"), F.lit(ci).alias("cell")))
+    return F.array_min(F.array(*cells))["cell"]
+
+
+def ivf_assign(embeddings: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Add the IVF cell id; at scale the index table is written
+    partitioned/clustered by cell so probes prune partitions."""
+    return embeddings.withColumn("cell", _nearest_centroid_col(centroids))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k: score only vectors in the nprobe cells nearest the query.
+    nprobe = len(centroids) degrades to exact brute force (tested)."""
+    import builtins
+
+    dists = [
+        (builtins.sum((a - b) ** 2 for a, b in zip(query_vec, c)), ci)
+        for ci, c in enumerate(centroids)
+    ]
+    probe_cells = [ci for _d, ci in sorted(dists)[:nprobe]]
+    candidates = ivf_assign(embeddings, centroids).filter(
+        F.col("cell").isin(probe_cells)
+    )
+    return brute_force_topk(
+        candidates.select("vec_id", "embedding"), query_vec, k
+    )

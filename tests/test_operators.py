@@ -225,3 +225,54 @@ def test_span_regions_roundtrip(spark):
     assert set(regions.columns) == {
         "conv_id", "turn_idx", "region_id", "start", "end", "label", "action"
     }
+
+
+class TestIVF:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).cache()
+
+    def test_full_probe_equals_brute_force(self, spark, emb):
+        from marie_ai_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+            train_ivf_centroids,
+        )
+
+        cents = train_ivf_centroids(emb, n_centroids=8, iters=3)
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        rest = emb.filter(F.col("vec_id") != 0)
+        exact = [(r.vec_id, r.cos_sim) for r in brute_force_topk(rest, q, 10).collect()]
+        full = [(r.vec_id, r.cos_sim)
+                for r in ivf_topk(rest, q, cents, k=10, nprobe=8).collect()]
+        assert full == exact
+
+    def test_partial_probe_recall(self, spark, emb):
+        from marie_ai_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+            train_ivf_centroids,
+        )
+
+        cents = train_ivf_centroids(emb, n_centroids=8, iters=3)
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        rest = emb.filter(F.col("vec_id") != 0)
+        exact = {r.vec_id for r in brute_force_topk(rest, q, 10).collect()}
+        ann = {r.vec_id for r in ivf_topk(rest, q, cents, k=10, nprobe=3).collect()}
+        recall = len(exact & ann) / 10
+        assert recall >= 0.3  # uniform synthetic vectors: cells barely cluster
+        assert len(ann) == 10
+
+    def test_assignment_deterministic(self, spark, emb):
+        from marie_ai_spark.operators.similarity import (
+            ivf_assign,
+            train_ivf_centroids,
+        )
+
+        cents = train_ivf_centroids(emb, n_centroids=8, iters=3)
+        a = {r.vec_id: r.cell for r in ivf_assign(emb, cents).collect()}
+        b = {r.vec_id: r.cell for r in ivf_assign(emb, cents).collect()}
+        assert a == b
+        assert len(set(a.values())) > 1  # vectors spread over cells
