@@ -128,14 +128,42 @@ def page_to_text(lines: list[dict]) -> str:
     )
 
 
+def _valid_word(w) -> bool:
+    """Drop malformed word records — the analog of the reference's region
+    bounds validation (marie/ocr/ocr_engine.py:278-294: invalid regions
+    produce empty results instead of errors)."""
+    if not isinstance(w, dict) or "id" not in w:
+        return False
+    box = w.get("box")
+    return (
+        isinstance(box, (list, tuple))
+        and len(box) == 4
+        and all(isinstance(v, (int, float)) for v in box)
+        and isinstance(w.get("text", ""), str)
+    )
+
+
 def parse_pdf_payload(text: str) -> list[dict]:
-    """Parse the serialized word-box payload: {"pages":[{page,width,height,words}]}."""
+    """Parse the serialized word-box payload: {"pages":[{page,width,height,words}]}.
+    Malformed pages/words are dropped, never raised."""
     try:
         obj = json.loads(text)
     except (ValueError, TypeError):
         return []
     pages = obj.get("pages", []) if isinstance(obj, dict) else []
-    return [p for p in pages if isinstance(p, dict)]
+    out = []
+    for p in pages if isinstance(pages, list) else []:
+        if not isinstance(p, dict):
+            continue
+        words = p.get("words", [])
+        p = dict(p)
+        p["words"] = [
+            {**w, "text": w.get("text", ""), "conf": w.get("conf", 0.0)}
+            for w in (words if isinstance(words, list) else [])
+            if _valid_word(w)
+        ]
+        out.append(p)
+    return out
 
 
 def extract_pdf_words(text: str, mode: str = "compact"):

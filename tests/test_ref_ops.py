@@ -287,3 +287,62 @@ class TestMergeCascadeEquivalence:
                 for l in merge_lines(words)
             ]
             assert got == reference_merge(words)
+
+
+class TestAdversarialPayloads:
+    """At corpus scale there is always garbage: extraction must never
+    throw, always return the schema, and stay deterministic."""
+
+    CASES = [
+        "",
+        " ",
+        "\n\n\n",
+        "<html><body><p>unclosed everything",
+        "<html><head><script>if (a<b) {x}</script></head><body>ok</body></html>",
+        "<div><nav><a href='x'>l</a></nav></div>",
+        "<b></b><i></i>",
+        '{"pages": "not-a-list"}',
+        '{"pages": [{"words": [{"id": 0}]}]}',
+        '{"pages": [{"page": 0, "words": [{"id": 0, "text": "w", "box": [1, 2], "conf": 1}]}]}',
+        '{"status": }',
+        "{broken json",
+        "## \n- ****\n|||",
+        "| a |\n|---|",
+        "- **Key:**",
+        "BEGIN BOILERPLATE",
+        "END BOILERPLATE",
+        "END BOILERPLATE\nBEGIN BOILERPLATE",
+        "\x00\x01\x02",
+        "é漢字🙂 mixed unicode\nsecond line",
+        "a" * 100000,
+        "x\n" * 5000,
+    ]
+
+    def test_never_throws_and_deterministic(self):
+        from marie_ai_spark.ref_ops import extract_turn
+
+        for t in self.CASES:
+            try:
+                r1 = extract_turn(t)
+                r2 = extract_turn(t)
+            except Exception as e:  # pragma: no cover
+                raise AssertionError(f"extract_turn raised on {t[:60]!r}: {e}")
+            assert set(r1) == {"doc_kind", "clean_text", "spans", "n_lines"}
+            assert r1 == r2
+            for s, e2, _lb, _ac in r1["spans"]:
+                assert 0 <= s <= e2 <= len(t)
+
+    def test_grid_mode_never_throws(self):
+        from marie_ai_spark.ref_ops import extract_turn
+
+        for t in self.CASES:
+            r = extract_turn(t, pdf_mode="grid")
+            assert r["n_lines"] >= 0
+
+    def test_stateful_never_throws(self):
+        from marie_ai_spark.ref_ops import extract_turn_stateful
+
+        for t in self.CASES:
+            for entry in (frozenset(), frozenset({"r-boilerplate"})):
+                r, ex = extract_turn_stateful(t, entry_open=entry)
+                assert isinstance(ex, frozenset)
