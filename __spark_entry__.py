@@ -276,6 +276,12 @@ def q_annotate_regex(spark, sf):
     return annotate.annotate_regex(_t(spark, sf, "documents"))
 
 
+def q_fuzzy_match(spark, sf):
+    return annotate.fuzzy_annotate(
+        _t(spark, sf, "documents"), ["spark", "merge"], max_dist=1
+    )
+
+
 def q_classify_vote(spark, sf):
     """Classification voting (MAJORITY policy, BEST tie-break) treating
     per-user events as classifier results."""
@@ -403,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cheapest_supplier": q_cheapest_supplier,
         "q_sql_nation_revenue": q_sql_nation_revenue,
         "q_annotate_regex": q_annotate_regex,
+        "q_fuzzy_match": q_fuzzy_match,
         "q_classify_vote": q_classify_vote,
         "q_embed_neardup": q_embed_neardup,
         "q_extract_transcripts": q_extract_transcripts,
@@ -816,6 +823,24 @@ def oracle_sql() -> dict[str, str]:
                    generate_subscripts(vals, 1) - 1 AS match_idx,
                    unnest(vals) AS value
             FROM m
+        """,
+        "q_fuzzy_match": """
+            WITH terms(term) AS (VALUES ('spark'), ('merge')),
+            toks AS (
+                SELECT doc_id,
+                       generate_subscripts(l, 1) - 1 AS tok_idx,
+                       unnest(l) AS token
+                FROM (
+                    SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\\s+') AS l
+                    FROM documents
+                )
+            )
+            SELECT doc_id, term, tok_idx, token,
+                   levenshtein(lower(token), lower(term)) AS dist
+            FROM toks JOIN terms
+              ON levenshtein(lower(token), lower(term)) <= 1
+            WHERE token <> ''
         """,
         "q_classify_vote": """
             SELECT user_id, event_type AS winner, votes, max_score, sum_score

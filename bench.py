@@ -51,6 +51,7 @@ HEADLINE = [
     "q_cheapest_supplier",
     "q_sql_nation_revenue",
     "q_annotate_regex",
+    "q_fuzzy_match",
     "q_classify_vote",
     "q_embed_neardup",
     "q_extract_transcripts",

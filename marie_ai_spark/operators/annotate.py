@@ -104,3 +104,41 @@ def classify_vote(
     return first.select(
         F.col(key), "winner", "votes", "max_score", "sum_score"
     )
+
+
+def fuzzy_annotate(
+    documents: DataFrame,
+    terms: list[str],
+    max_dist: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fuzzy term matching over tokenized text — the relational form of the
+    reference's fuzzy TextSelector strategy (marie/extract/models/base.py:
+    204-212) and its multi-line matcher's approximate matching
+    (marie/extract/annotators/multi_line_matcher.py).
+
+    JVM-side: explode tokens with position, theta-join against the (tiny,
+    broadcast) term table on levenshtein distance <= max_dist.
+    """
+    spark = documents.sparkSession
+    term_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    toks = documents.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("tok_idx", "token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.join(
+            F.broadcast(term_df),
+            F.levenshtein(F.lower("token"), F.lower("term")) <= max_dist,
+        )
+        .select(
+            id_col,
+            "term",
+            "tok_idx",
+            "token",
+            F.levenshtein(F.lower("token"), F.lower("term")).alias("dist"),
+        )
+    )

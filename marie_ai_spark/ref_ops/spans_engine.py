@@ -54,6 +54,10 @@ _LINE_KINDS = {"plain", "markdown"}
 def _matcher(kind: str, expr: str):
     if kind == "text_equals":
         return lambda line: line == expr
+    if kind == "fuzzy":
+        # fuzzy TextSelector strategy (marie/extract/models/base.py:204-212):
+        # match when edit distance to the expression is <= 1
+        return lambda line: levenshtein(line.strip().lower(), expr.lower()) <= 1
     rx = re.compile(expr)
     return lambda line: rx.search(line) is not None
 
@@ -237,3 +241,22 @@ def evolve_open_state(entry_open, events, rules):
         if open_now:
             exit_open.add(rid)
     return frozenset(exit_open)
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Plain DP edit distance (shared by the fuzzy selector kind)."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]

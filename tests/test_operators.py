@@ -276,3 +276,34 @@ class TestIVF:
         b = {r.vec_id: r.cell for r in ivf_assign(emb, cents).collect()}
         assert a == b
         assert len(set(a.values())) > 1  # vectors spread over cells
+
+
+def test_fuzzy_annotate(spark):
+    from marie_ai_spark.operators.annotate import fuzzy_annotate
+
+    docs = spark.createDataFrame(
+        [(1, "Spark sparks sprak merge marge zzz")],
+        "doc_id long, text string",
+    )
+    rows = fuzzy_annotate(docs, ["spark", "merge"], max_dist=1).collect()
+    got = {(r.term, r.token): r.dist for r in rows}
+    assert got[("spark", "Spark")] == 0
+    assert got[("spark", "sparks")] == 1
+    # 'sprak' is a transposition = levenshtein 2 -> excluded at max_dist 1
+    assert ("spark", "sprak") not in got
+    assert ("merge", "marge") in got and got[("merge", "marge")] == 1
+    assert all(t != "zzz" for _term, t in got)
+
+
+def test_fuzzy_selector_kind():
+    from marie_ai_spark.ref_ops import extract_turn
+
+    rules = [{
+        "rule_id": "fz", "doc_kind": "plain", "kind": "fuzzy",
+        "start_expr": "BEGIN NOISE", "stop_expr": "END NOISE",
+        "selection_type": "NEGATION", "label": "chrome",
+    }]
+    # one-char typos in the markers still match
+    t = "keep\nBEGIN NOISe\njunk\nEND NOIS\nkeep2"
+    r = extract_turn(t, rules)
+    assert r["clean_text"] == "keep\nkeep2"
