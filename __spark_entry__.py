@@ -330,6 +330,15 @@ def q_conversation_rollup(spark, sf):
     return conversation_stats(extract_transcripts(tr))
 
 
+def q_serialize_blobs(spark, sf):
+    """S10 XML blob sink over parsed pdf words (rows-only)."""
+    from marie_ai_spark.operators.layout import parse_words, serialize_blobs
+
+    n_convs = 400 if "0.1" in sf else 100
+    tr = gen_spark(spark, n_convs, seed=42)
+    return serialize_blobs(parse_words(tr))
+
+
 def q_media_decode(spark, sf):
     """Multimodal plumbing: binary media column -> decoded metadata via the
     Arrow-batched stub codec (rows-only; synthetic assets)."""
@@ -420,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_markdown_kv": q_markdown_kv,
         "q_media_decode": q_media_decode,
         "q_media_frames": q_media_frames,
+        "q_serialize_blobs": q_serialize_blobs,
     }
 
 

@@ -76,6 +76,10 @@ def main():
     spark = get_spark("bench", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus) * 2)
 
+    # warm the JVM/codegen path so the first timed query isn't charged
+    # for session bring-up
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
     qs = entrymod.queries()
     timings = {}
     total = 0.0

@@ -209,3 +209,37 @@ def knn_words(words: DataFrame, qx: float, qy: float, k: int = 5) -> DataFrame:
         .withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
     )
+
+
+def serialize_blobs(words: DataFrame) -> DataFrame:
+    """S10 BlobRenderer sink (marie/renderer/blob_renderer.py:14-90): per
+    page, an XML fragment `<blobs><blob x y w h text/>...</blobs>` with
+    XML-escaped text, built entirely from aggregate expressions."""
+    esc = F.col("word")
+    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    blob = F.concat(
+        F.lit('<blob x="'), F.col("x").cast("string"),
+        F.lit('" y="'), F.col("y").cast("string"),
+        F.lit('" w="'), F.col("wd").cast("string"),
+        F.lit('" h="'), F.col("ht").cast("string"),
+        F.lit('">'), esc, F.lit("</blob>"),
+    )
+    key = F.struct(F.col("y"), F.col("x"), F.col("word_id"), F.col("b"))
+    return (
+        words.withColumn("b", blob)
+        .groupBy("conv_id", "turn_idx", "page")
+        .agg(
+            F.concat(
+                F.lit("<blobs>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(key)), lambda s: s["b"]
+                    ),
+                    "",
+                ),
+                F.lit("</blobs>"),
+            ).alias("blobs_xml"),
+            F.count(F.lit(1)).alias("n_blobs"),
+        )
+    )

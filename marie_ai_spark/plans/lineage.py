@@ -102,3 +102,27 @@ def partition_metrics(extracted_with_bucket: DataFrame) -> DataFrame:
 
 def new_run_id() -> str:
     return uuid.uuid4().hex[:12]
+
+
+def run_report(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-run lineage rollup: buckets done/failed, rows, attempts, wall
+    span — the observability surface of the job table
+    (analog of the reference's job_history audit)."""
+    lin = read_lineage(spark, f"{out_dir}/lineage")
+    return (
+        lin.groupBy("run_id")
+        .agg(
+            F.sum(F.when(F.col("status") == "done", 1).otherwise(0)).alias(
+                "buckets_done"
+            ),
+            F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias(
+                "buckets_failed"
+            ),
+            F.sum(F.when(F.col("status") == "done", F.col("rows_out"))).alias(
+                "rows_out"
+            ),
+            F.max("attempt").alias("max_attempt"),
+            F.min("started_at").alias("first_started"),
+            F.max("completed_at").alias("last_completed"),
+        )
+    )

@@ -45,6 +45,7 @@ def run_extract(
     max_buckets: int | None = None,
     rules=DEFAULT_RULES,
     backend: str = "parquet",
+    max_records_per_file: int = 1_000_000,
 ) -> dict:
     """Run (or resume) an extraction over `input_path` transcripts.
 
@@ -93,6 +94,8 @@ def run_extract(
         "_bucket", bucket_col(n_buckets)
     )
     try:
+        # bound output file sizes so downstream scans parallelize well
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", str(max_records_per_file))
         io.overwrite_partitions(
             extracted.sortWithinPartitions("conv_id", "turn_idx"),
             extracted_path,

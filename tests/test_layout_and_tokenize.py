@@ -117,3 +117,33 @@ def test_geometry_helpers(spark, transcripts):
     pdfk = knn.toPandas().sort_values(["conv_id", "turn_idx", "page", "knn_rank"])
     for _, g in pdfk.groupby(["conv_id", "turn_idx", "page"]):
         assert list(g.dist) == sorted(g.dist)
+
+
+def test_serialize_blobs_xml(spark):
+    from marie_ai_spark.operators.layout import serialize_blobs
+
+    words = spark.createDataFrame(
+        [("c", 0, 0, 1, "a<b", 10, 20, 30, 40, 1.0),
+         ("c", 0, 0, 2, "ok", 50, 20, 30, 40, 1.0)],
+        "conv_id string, turn_idx int, page int, word_id int, word string, "
+        "x int, y int, wd int, ht int, conf double",
+    )
+    row = serialize_blobs(words).first()
+    assert row.n_blobs == 2
+    assert row.blobs_xml.startswith("<blobs><blob x=\"10\"")
+    assert "a&lt;b" in row.blobs_xml  # XML escaping
+    assert row.blobs_xml.endswith("</blobs>")
+
+
+def test_run_report(spark, tmp_path):
+    from marie_ai_spark.plans.lineage import run_report
+    from marie_ai_spark.plans.pipeline import run_extract
+    from marie_ai_spark.sources.transcripts import gen_pandas
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(gen_pandas(20, seed=2)).write.parquet(inp)
+    run_extract(spark, inp, out, run_id="rep", n_buckets=4)
+    r = run_report(spark, out).first()
+    assert r.run_id == "rep" and r.buckets_done == 4
+    assert r.buckets_failed == 0 and r.rows_out > 0
