@@ -58,3 +58,26 @@ def vote_best_extraction(ensemble: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def vote_words(engines: dict[str, DataFrame]) -> DataFrame:
+    """Word-level confidence vote across OCR-style engines — the reference's
+    `best` mode: candidates grouped per (page, word id) across engines,
+    winner by highest confidence, ties by engine name then text
+    (marie/ocr/voting_ocr_engine.py:125-185).
+
+    Each input frame carries (conv_id, turn_idx, page, word_id, word, conf);
+    the union + one window is the J4 co-group -> A3 argmax shape.
+    """
+    tagged = None
+    for name, df in engines.items():
+        t = df.withColumn("engine", F.lit(name))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    w = Window.partitionBy("conv_id", "turn_idx", "page", "word_id").orderBy(
+        F.desc("conf"), F.asc("engine"), F.asc("word")
+    )
+    return (
+        tagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

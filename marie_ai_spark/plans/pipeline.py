@@ -164,3 +164,42 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
         .drop("_bucket")
         .orderBy("conv_id", "turn_idx")
     )
+
+
+def merge_extracted(
+    spark: SparkSession,
+    out_dir: str,
+    updates: DataFrame,
+    n_buckets: int = 32,
+) -> int:
+    """Upsert turns into the extracted table: new rows win on key collision
+    — the `update_existing_meta` merge semantics (marie/pipe/components.py:
+    736-767, "new wins on duplicates") and Iceberg's MERGE INTO on the
+    parquet backend.
+
+    Only the hash buckets containing updated keys are rewritten (read ->
+    anti-join -> union -> dynamic partition overwrite), so the write cost
+    is proportional to the touched buckets, not the table.
+    """
+    extracted_path = f"{out_dir}/extracted"
+    upd = updates.withColumn("_bucket", bucket_col(n_buckets))
+    touched = [r["_bucket"] for r in upd.select("_bucket").distinct().collect()]
+    existing = spark.read.parquet(extracted_path).filter(
+        F.col("_bucket").isin(touched)
+    )
+    survivors = existing.join(
+        upd.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti"
+    )
+    # materialize before overwriting the same path we just read (Spark
+    # cannot overwrite a source mid-scan); Iceberg MERGE INTO does this
+    # transactionally — on the parquet backend a localCheckpoint (or a
+    # staging dir at cluster scale) provides the same read-then-replace
+    merged = survivors.unionByName(upd).localCheckpoint(eager=True)
+    (
+        merged.sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(extracted_path)
+    )
+    return len(touched)

@@ -147,3 +147,18 @@ def test_run_report(spark, tmp_path):
     r = run_report(spark, out).first()
     assert r.run_id == "rep" and r.buckets_done == 4
     assert r.buckets_failed == 0 and r.rows_out > 0
+
+
+def test_vote_words_argmax(spark):
+    from marie_ai_spark.operators.voting import vote_words
+
+    cols = ("conv_id string, turn_idx int, page int, word_id int, "
+            "word string, conf double")
+    e1 = spark.createDataFrame(
+        [("c", 0, 0, 1, "heIlo", 0.91), ("c", 0, 0, 2, "world", 0.99)], cols)
+    e2 = spark.createDataFrame(
+        [("c", 0, 0, 1, "hello", 0.97), ("c", 0, 0, 2, "w0rld", 0.80)], cols)
+    out = {r.word_id: (r.word, r.engine)
+           for r in vote_words({"trocr": e1, "paddle": e2}).collect()}
+    assert out[1] == ("hello", "paddle")  # higher confidence wins
+    assert out[2] == ("world", "trocr")

@@ -108,3 +108,32 @@ def test_failed_attempt_recorded_then_retry_succeeds(spark, tmp_path):
     n_in = spark.read.parquet(inp).count()
     ext = read_extracted(spark, out)
     assert ext.count() == n_in
+
+
+def test_merge_extracted_new_wins(spark, tmp_path):
+    from marie_ai_spark.operators.extract import extract_transcripts
+    from marie_ai_spark.plans.pipeline import merge_extracted
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(gen_pandas(25, seed=9)).write.parquet(inp)
+    run_extract(spark, inp, out, run_id="m", n_buckets=4)
+    before = read_extracted(spark, out).toPandas()
+
+    # re-extract two turns with different rules (no cutpoints) as updates
+    upd_src = spark.createDataFrame(gen_pandas(25, seed=9)).filter(
+        "conv_id = 'conv-00000000'"
+    )
+    updates = extract_transcripts(upd_src, rules=[]).withColumn(
+        "clean_text", F.concat(F.lit("UPDATED "), F.col("clean_text"))
+    )
+    n_buckets_touched = merge_extracted(spark, out, updates, n_buckets=4)
+    assert 1 <= n_buckets_touched <= 4
+
+    after = read_extracted(spark, out).toPandas()
+    assert len(after) == len(before)  # upsert, no dup keys
+    got = after[after.conv_id == "conv-00000000"]
+    assert got.clean_text.str.startswith("UPDATED").all()  # new wins
+    other = after[after.conv_id != "conv-00000000"].reset_index(drop=True)
+    other_before = before[before.conv_id != "conv-00000000"].reset_index(drop=True)
+    assert (other.clean_text.values == other_before.clean_text.values).all()
