@@ -85,9 +85,17 @@ def lang_id_ngram(documents: DataFrame, top_k: int = 50) -> DataFrame:
         "transform(sequence(1, greatest(length(t) - 2, 0)),"
         " i -> substring(t, i, 3))"
     )
-    grams = documents.select(
-        "doc_id", F.col("lang"), norm.alias("t")
-    ).filter(F.length("t") >= 3).withColumn("tri", tri)
+    # materialize the normalized text BEFORE the trigram transform:
+    # projection collapse would otherwise inline the regexp_replace
+    # normalization into EVERY substring() of the transform (O(len^2)
+    # re-normalization per doc); the cached relation is the barrier, and
+    # the frame is consumed twice (profile + classification) anyway
+    base = (
+        documents.select("doc_id", F.col("lang"), norm.alias("t"))
+        .filter(F.length("t") >= 3)
+        .cache()
+    )
+    grams = base.withColumn("tri", tri)
 
     profile = (
         grams.select("lang", F.explode("tri").alias("g"))
