@@ -58,6 +58,10 @@ def _matcher(kind: str, expr: str):
         # fuzzy TextSelector strategy (marie/extract/models/base.py:204-212):
         # match when edit distance to the expression is <= 1
         return lambda line: levenshtein(line.strip().lower(), expr.lower()) <= 1
+    if kind == "embedding":
+        # embedding TextSelector strategy: cosine of hashing-trick
+        # bag-of-token vectors >= 0.8 (deterministic, model-free)
+        return lambda line: embedding_similarity(line, expr) >= 0.8
     rx = re.compile(expr)
     return lambda line: rx.search(line) is not None
 
@@ -260,3 +264,32 @@ def levenshtein(a: str, b: str) -> int:
             )
         prev = cur
     return prev[-1]
+
+
+# ---------------------------------------------------------------- embedding
+# deterministic hashing-trick embedding for the third TextSelector strategy
+# (marie/extract/models/base.py:204-212: equals / fuzzy / embedding);
+# vocabulary-free so the oracle and engine share it with no model files
+
+_EMBED_DIM = 32
+
+
+def embed_line(text: str) -> list[float]:
+    """Bag-of-tokens hashing embedding: each token adds +/-1 at a bucket
+    derived from its md5; L2-normalized."""
+    import hashlib
+    import math
+
+    vec = [0.0] * _EMBED_DIM
+    for tok in text.lower().split():
+        h = hashlib.md5(tok.encode("utf-8", "surrogatepass")).digest()
+        idx = h[0] % _EMBED_DIM
+        sign = 1.0 if h[1] % 2 == 0 else -1.0
+        vec[idx] += sign
+    n = math.sqrt(sum(v * v for v in vec))
+    return [v / n for v in vec] if n else vec
+
+
+def embedding_similarity(a: str, b: str) -> float:
+    va, vb = embed_line(a), embed_line(b)
+    return sum(x * y for x, y in zip(va, vb))

@@ -346,3 +346,29 @@ class TestAdversarialPayloads:
             for entry in (frozenset(), frozenset({"r-boilerplate"})):
                 r, ex = extract_turn_stateful(t, entry_open=entry)
                 assert isinstance(ex, frozenset)
+
+
+class TestEmbeddingSelector:
+    def test_order_free_semantic_match(self):
+        from marie_ai_spark.ref_ops import extract_turn
+
+        rules = [{
+            "rule_id": "em", "doc_kind": "plain", "kind": "embedding",
+            "start_expr": "legal disclaimer follows here",
+            "stop_expr": "end of disclaimer text",
+            "selection_type": "NEGATION", "label": "chrome",
+        }]
+        # token-permuted, case-changed markers still match
+        t = ("keep this\nHere follows legal disclaimer\nboring terms\n"
+             "disclaimer text of end\nkeep that")
+        r = extract_turn(t, rules)
+        assert r["clean_text"] == "keep this\nkeep that"
+
+    def test_embedding_deterministic_and_normalized(self):
+        from marie_ai_spark.ref_ops.spans_engine import embed_line
+
+        v1 = embed_line("alpha beta gamma")
+        v2 = embed_line("alpha beta gamma")
+        assert v1 == v2
+        assert abs(sum(x * x for x in v1) - 1.0) < 1e-9
+        assert embed_line("") == [0.0] * len(v1)
