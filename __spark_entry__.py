@@ -541,12 +541,13 @@ def oracle_sql() -> dict[str, str]:
                 ) AS session_seq
                 FROM g
             )
-            SELECT user_id, session_seq,
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
                    count(*) AS n_events,
                    min(ts) AS session_start,
                    max(ts) AS session_end,
-                   round(sum(value), 2) AS session_value
-            FROM s GROUP BY user_id, session_seq
+                   CAST(round(sum(value::DECIMAL(18,6)), 2) AS DECIMAL(18,2))
+                       AS session_value
+            FROM s GROUP BY user_id, CAST(session_seq AS BIGINT)
         """,
         "q_asof_signup_before_purchase": """
             SELECT event_id, user_id, ts, lookup_ts
@@ -731,7 +732,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT doc_id, lang, g FROM grams
             ),
             scored AS (
-                SELECT doc_id, lang, p_lang, sum(51 - rank) AS score
+                SELECT doc_id, lang, p_lang,
+                       CAST(sum(51 - rank) AS BIGINT) AS score
                 FROM doc_grams JOIN profile USING (g)
                 GROUP BY doc_id, lang, p_lang
             )
@@ -768,10 +770,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_event_pivot": """
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-                   round(sum(value), 2) AS total_value
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(round(sum(value::DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS total_value
             FROM events GROUP BY user_id
         """,
         "q_percentiles": """

@@ -49,11 +49,18 @@ def priority_status_rollup(orders: DataFrame) -> DataFrame:
 def user_event_pivot(events: DataFrame) -> DataFrame:
     """Pivot via conditional aggregation (portable form of PIVOT)."""
     agg = [
-        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"n_{t}")
         for t in ("signup", "purchase", "error")
     ]
+    # decimal accumulation so the value is bit-identical to the oracle's
+    # regardless of partial-sum order (double addition is not associative)
     return events.groupBy("user_id").agg(
-        *agg, F.round(F.sum("value"), 2).alias("total_value")
+        *agg,
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("decimal(18,2)")
+        .alias("total_value"),
     )
 
 

@@ -43,12 +43,17 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         ),
     )
     return (
-        with_gap.groupBy("user_id", "session_seq")
+        with_gap.groupBy("user_id", F.col("session_seq").cast("bigint").alias("session_seq"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            # decimal accumulation: addition over decimal(18,6) is associative,
+            # so Spark's and the oracle's partial-sum orders cannot drift in the
+            # last ulp the way double summation does (driver hash gate is exact)
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("decimal(18,2)")
+            .alias("session_value"),
         )
     )
 

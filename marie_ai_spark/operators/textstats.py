@@ -117,7 +117,9 @@ def lang_id_ngram(documents: DataFrame, top_k: int = 50) -> DataFrame:
     scored = (
         doc_grams.join(F.broadcast(profile), "g")
         .groupBy("doc_id", "lang", "p_lang")
-        .agg(F.sum(F.lit(top_k + 1) - F.col("rank")).alias("score"))
+        .agg(
+            F.sum(F.lit(top_k + 1) - F.col("rank")).cast("bigint").alias("score")
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("p_lang"))
     return (

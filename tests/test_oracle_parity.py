@@ -19,12 +19,18 @@ TABLES = (
 
 
 def norm_cell(v):
+    """Exact repr (matches tools/oracle_check.py): last-ulp float drift must
+    FAIL locally the way it fails the driver's hasher."""
+    import decimal
+
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6f}".rstrip("0").rstrip(".")
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     return str(v)

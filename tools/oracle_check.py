@@ -21,7 +21,12 @@ TABLES = (
 
 
 def norm_cell(v):
+    """Exact-representation cell normalization. Floats use repr (shortest
+    round-trip) so a last-ulp drift between Spark and DuckDB FAILS here the
+    same way it fails the driver's stricter hasher — queries must produce
+    bit-identical values (decimal accumulation), not merely close ones."""
     import datetime
+    import decimal
     import math
 
     if v is None:
@@ -29,7 +34,9 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6f}".rstrip("0").rstrip(".")
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     return str(v)
