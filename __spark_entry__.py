@@ -377,12 +377,44 @@ def q_span_regions(spark, sf):
 
 
 def q_markdown_kv(spark, sf):
-    """JVM-side KV pair extraction from markdown turns (rows-only)."""
+    """JVM-side KV pair extraction from markdown turns; the DuckDB oracle
+    re-parses the same transcripts fixture in SQL."""
     from marie_ai_spark.operators.regions import markdown_kv_pairs
 
     n_convs = 400 if "0.1" in sf else 100
     tr = gen_spark(spark, n_convs, seed=42)
     return markdown_kv_pairs(tr)
+
+
+def q_region_tables(spark, sf):
+    """E6 table route: GFM tables -> normalized (row, column, value) records
+    under the PRIMARY_COLUMN_VARIABLE strategy with footer exclusion; the
+    oracle re-parses the fixture in pure SQL."""
+    from marie_ai_spark.operators.tables import region_table_rows
+
+    n_convs = 400 if "0.1" in sf else 100
+    tr = gen_spark(spark, n_convs, seed=42)
+    return region_table_rows(tr)
+
+
+def q_region_table_footers(spark, sf):
+    """E6 footer route: document-level footer fields peeled off table
+    regions (flexible TOTAL / empty-leading-cells detection)."""
+    from marie_ai_spark.operators.tables import region_table_footers
+
+    n_convs = 400 if "0.1" in sf else 100
+    tr = gen_spark(spark, n_convs, seed=42)
+    return region_table_footers(tr)
+
+
+def q_region_fields(spark, sf):
+    """E6 field route: selector-matched named fields from KV regions with
+    first-match-wins dedup and MONEY/ALPHA/ALPHA_NUMERIC transforms."""
+    from marie_ai_spark.operators.fields import region_fields
+
+    n_convs = 400 if "0.1" in sf else 100
+    tr = gen_spark(spark, n_convs, seed=42)
+    return region_fields(tr)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -427,6 +459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conversation_rollup": q_conversation_rollup,
         "q_span_regions": q_span_regions,
         "q_markdown_kv": q_markdown_kv,
+        "q_region_tables": q_region_tables,
+        "q_region_table_footers": q_region_table_footers,
+        "q_region_fields": q_region_fields,
         "q_media_decode": q_media_decode,
         "q_media_frames": q_media_frames,
         "q_serialize_blobs": q_serialize_blobs,
@@ -434,6 +469,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ------------------------------------------------------------- oracle SQL
+
+# Lines of the 100-conv/seed-42 transcripts fixture (the exact corpus the
+# extraction queries generate at the driver's correctness sf). `raw` is the
+# unstripped line (KV regexes anchor on it, matching Spark's (?m)^ semantics
+# on the full text); `s` is the trimmed form used by the table parser.
+_FIXTURE_LINES_CTE = """
+tr AS (
+    SELECT conv_id, turn_idx, text
+    FROM read_parquet('/root/repo/fixtures/transcripts_c100_s42.parquet')
+),
+lines AS (
+    SELECT conv_id, turn_idx, line_no, raw, trim(raw) AS s
+    FROM (
+        SELECT conv_id, turn_idx,
+               generate_subscripts(l, 1) AS line_no,
+               unnest(l) AS raw
+        FROM (SELECT conv_id, turn_idx, string_split(text, chr(10)) AS l FROM tr)
+    )
+)
+"""
+
+# GFM table lines -> (table_idx, rn, cells, headers, padded, footer flag,
+# PRIMARY_COLUMN_VARIABLE row groups) — the SQL twin of operators/tables.py
+_TABLE_BODY_CTE = """
+marked AS (
+    SELECT *, (s LIKE '|%') AS is_t,
+           regexp_matches(s, '^\\|[\\s\\-:|]+\\|?$') AS is_sep
+    FROM lines
+),
+tindexed AS (
+    SELECT *, sum(new_t) OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY line_no
+    ) - 1 AS table_idx
+    FROM (
+        SELECT *, CASE WHEN is_t AND NOT coalesce(
+            lag(is_t) OVER (PARTITION BY conv_id, turn_idx ORDER BY line_no),
+            false) THEN 1 ELSE 0 END AS new_t
+        FROM marked
+    )
+),
+tlines AS (
+    SELECT conv_id, turn_idx, table_idx, line_no,
+           list_transform(
+               string_split(regexp_replace(s, '^\\||\\|$', '', 'g'), '|'),
+               x -> trim(x)) AS cells,
+           row_number() OVER (
+               PARTITION BY conv_id, turn_idx, table_idx ORDER BY line_no
+           ) AS rn
+    FROM tindexed WHERE is_t AND NOT is_sep
+),
+wide AS (
+    SELECT *, first(cells) OVER (
+               PARTITION BY conv_id, turn_idx, table_idx ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS headers,
+           max(rn) OVER (PARTITION BY conv_id, turn_idx, table_idx) AS max_rn
+    FROM tlines
+),
+padded_t AS (
+    SELECT *, len(headers) AS n_cols,
+           [coalesce(cells[i], '') for i in range(1, len(headers) + 1)] AS padded
+    FROM wide WHERE rn >= 2
+),
+flagged AS (
+    SELECT *, (rn = max_rn AND (
+            len(list_filter(padded, x -> regexp_matches(x, '^TOTAL:?$', 'i'))) > 0
+            OR (n_cols >= 2 AND padded[1] = '' AND padded[2] = '')
+        )) AS is_footer
+    FROM padded_t
+),
+body AS (
+    SELECT *, sum(CASE WHEN rb = 1 OR padded[1] <> '' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY conv_id, turn_idx, table_idx ORDER BY rn)
+              - 1 AS row_grp
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx, table_idx ORDER BY rn
+        ) AS rb
+        FROM flagged WHERE NOT is_footer
+    )
+)
+"""
 
 _SHINGLES_CTE = """
 tok AS (
@@ -885,6 +1002,150 @@ def oracle_sql() -> dict[str, str]:
                      (sqrt(list_dot_product(a.v, a.v))
                       * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45
         """,
-        # q_extract_transcripts / q_conversation_rollup: non-SQL-expressible
-        # (pandas-UDF payload parsing); covered by tests/ equality gate.
+        "q_markdown_kv": f"""
+            WITH {_FIXTURE_LINES_CTE},
+            kvm AS (
+                SELECT conv_id, turn_idx, line_no,
+                       regexp_extract(raw, '^-\\s+\\*\\*(.+?)\\*\\*\\s*:?\\s*(.*)$', 1) AS k,
+                       regexp_extract(raw, '^-\\s+\\*\\*(.+?)\\*\\*\\s*:?\\s*(.*)$', 2) AS v
+                FROM lines
+                WHERE regexp_matches(raw, '^-\\s+\\*\\*(.+?)\\*\\*\\s*:?\\s*(.*)$')
+            )
+            SELECT conv_id, turn_idx,
+                   CAST(row_number() OVER (
+                       PARTITION BY conv_id, turn_idx ORDER BY line_no
+                   ) - 1 AS INT) AS kv_idx,
+                   regexp_replace(trim(k), ':$', '') AS key,
+                   trim(v) AS value
+            FROM kvm
+        """,
+        "q_region_tables": f"""
+            WITH {_FIXTURE_LINES_CTE},
+            {_TABLE_BODY_CTE},
+            long AS (
+                SELECT conv_id, turn_idx, table_idx, row_grp, rn, headers,
+                       generate_subscripts(padded, 1) - 1 AS col_off,
+                       unnest(padded) AS cell
+                FROM body
+            )
+            SELECT conv_id, turn_idx, table_idx,
+                   CAST(row_grp AS INT) AS row_idx,
+                   CAST(col_off AS INT) AS col_idx,
+                   first(headers[col_off + 1]) AS col_name,
+                   coalesce(string_agg(cell, ' ' ORDER BY rn)
+                            FILTER (WHERE cell <> ''), '') AS value
+            FROM long
+            GROUP BY conv_id, turn_idx, table_idx, row_grp, col_off
+        """,
+        "q_region_table_footers": f"""
+            WITH {_FIXTURE_LINES_CTE},
+            {_TABLE_BODY_CTE},
+            foot AS (
+                SELECT conv_id, turn_idx, table_idx, headers, padded
+                FROM flagged WHERE is_footer
+            ),
+            fl AS (
+                SELECT conv_id, turn_idx, table_idx,
+                       generate_subscripts(padded, 1) - 1 AS col_idx,
+                       unnest(padded) AS value,
+                       headers
+                FROM foot
+            )
+            SELECT conv_id, turn_idx, table_idx,
+                   CAST(col_idx AS INT) AS col_idx,
+                   headers[col_idx + 1] AS col_name, value
+            FROM fl
+            WHERE value <> '' AND NOT regexp_matches(value, '^TOTAL:?$', 'i')
+        """,
+        "q_region_fields": f"""
+            WITH {_FIXTURE_LINES_CTE},
+            kvm AS (
+                SELECT conv_id, turn_idx, line_no,
+                       regexp_extract(raw, '^-\\s+\\*\\*(.+?)\\*\\*\\s*:?\\s*(.*)$', 1) AS k,
+                       regexp_extract(raw, '^-\\s+\\*\\*(.+?)\\*\\*\\s*:?\\s*(.*)$', 2) AS v
+                FROM lines
+                WHERE regexp_matches(raw, '^-\\s+\\*\\*(.+?)\\*\\*\\s*:?\\s*(.*)$')
+            ),
+            kv AS (
+                SELECT conv_id, turn_idx,
+                       CAST(row_number() OVER (
+                           PARTITION BY conv_id, turn_idx ORDER BY line_no
+                       ) - 1 AS INT) AS kv_idx,
+                       regexp_replace(trim(k), ':$', '') AS key,
+                       trim(v) AS value
+                FROM kvm
+            ),
+            spec(field_name, selector, sel_rank, field_type) AS (
+                VALUES ('amount_due', 'amount', 0, 'MONEY'),
+                       ('doc_subject', 'customer', 0, 'ALPHA'),
+                       ('doc_subject', 'section', 1, 'ALPHA'),
+                       ('ref_code', 'key', 0, 'ALPHA_NUMERIC'),
+                       ('ref_code', 'word', 1, 'ALPHA_NUMERIC')
+            ),
+            matched AS (
+                SELECT kv.*, spec.field_name, spec.sel_rank, spec.field_type
+                FROM kv JOIN spec ON lower(kv.key) = spec.selector
+            ),
+            firsts AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, field_name
+                        ORDER BY turn_idx, kv_idx, sel_rank
+                    ) AS rn
+                    FROM matched
+                ) WHERE rn = 1
+            ),
+            money AS (
+                SELECT *, try_cast(
+                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                        value, '[()\\-]', '', 'g'),
+                        '(\\d)\\s+(\\d)', '\\1.\\2', 'g'),
+                        '[$, ]', '', 'g'),
+                        '[^0-9.]', '', 'g') AS DECIMAL(18,4)) AS m_num,
+                    ((value LIKE '%(%' AND value LIKE '%)%')
+                     OR value LIKE '%-%') AS m_neg
+                FROM firsts
+            )
+            SELECT conv_id, field_name, field_type, turn_idx, kv_idx,
+                   value AS value_original,
+                   CASE field_type
+                     WHEN 'MONEY' THEN
+                       CASE WHEN trim(value) = '' OR m_num IS NULL THEN '0.00'
+                            ELSE CAST(CAST(CASE WHEN m_neg
+                                     THEN -round(m_num, 2)
+                                     ELSE round(m_num, 2) END
+                                 AS DECIMAL(18,2)) AS VARCHAR) END
+                     WHEN 'ALPHA_NUMERIC' THEN
+                       regexp_replace(regexp_replace(
+                           value, '\\s*,\\s*', ',', 'g'),
+                           '[^a-zA-Z0-9,]', '', 'g')
+                     ELSE trim(value)
+                   END AS value
+            FROM money
+        """,
+        # pandas-UDF pipelines: the oracle is the pure-Python ref_ops output
+        # materialized by tools/make_fixtures.py (NOT the Spark path) at the
+        # driver's correctness shape (100 convs / seed 42 at sf<=0.01).
+        "q_extract_transcripts": """
+            SELECT conv_id, turn_idx, doc_kind, clean_text, n_lines
+            FROM read_parquet('/root/repo/fixtures/oracle/extract_transcripts_c100.parquet')
+        """,
+        "q_extract_continuation": """
+            SELECT conv_id, turn_idx, doc_kind, clean_text, n_lines
+            FROM read_parquet('/root/repo/fixtures/oracle/extract_continuation_c100.parquet')
+        """,
+        "q_extract_grid": """
+            SELECT conv_id, turn_idx, clean_text, n_lines
+            FROM read_parquet('/root/repo/fixtures/oracle/extract_grid_c100.parquet')
+        """,
+        "q_conversation_rollup": """
+            SELECT * FROM read_parquet('/root/repo/fixtures/oracle/conversation_rollup_c100.parquet')
+        """,
+        "q_span_regions": """
+            SELECT label, action, n_regions, n_chars
+            FROM read_parquet('/root/repo/fixtures/oracle/span_regions_c100.parquet')
+        """,
+        # q_training_pipeline / q_media_* / q_serialize_blobs remain
+        # rows-only (composed pandas-UDF pipelines / synthetic media);
+        # pytest carries their equality gates.
     }

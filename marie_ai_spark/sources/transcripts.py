@@ -122,12 +122,23 @@ def _gen_markdown(rng: random.Random) -> str:
         out.append(_sentence(rng, 6, 12))
         for _ in range(rng.randint(2, 4)):
             out.append(f"- **{rng.choice(VOCAB).title()}:** {_sentence(rng, 2, 5)}")
+        if rng.random() < 0.3:
+            out.append(f"- **Amount:** ${rng.randint(1, 9999)},{rng.randint(100, 999)}.{rng.randint(10, 99)}")
     if rng.random() < 0.5:
         hdr = [rng.choice(VOCAB) for _ in range(3)]
         out.append("| " + " | ".join(hdr) + " |")
         out.append("|" + "---|" * 3)
         for _ in range(rng.randint(1, 3)):
             out.append("| " + " | ".join(rng.choice(VOCAB) for _ in range(3)) + " |")
+            # multi-line table rows: continuation lines carry an empty
+            # primary (first) cell and merge into the row above under the
+            # PRIMARY_COLUMN_VARIABLE row strategy
+            while rng.random() < 0.25:
+                out.append(
+                    "|  | " + " | ".join(rng.choice(VOCAB) for _ in range(2)) + " |"
+                )
+        if rng.random() < 0.4:  # footer row (flexible TOTAL match)
+            out.append(f"| TOTAL: |  | {rng.randint(10, 9999)}.{rng.randint(10, 99)} |")
     return "\n".join(out)
 
 

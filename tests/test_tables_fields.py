@@ -1,0 +1,215 @@
+"""E6 table/field routing: Spark operators vs the ref_ops python twins,
+plus handcrafted cases for the row strategies and footer rules."""
+
+import pandas as pd
+import pytest
+
+from marie_ai_spark.operators.fields import region_fields
+from marie_ai_spark.operators.tables import (
+    COMPOSITE_FIXED,
+    PRIMARY_COLUMN_FIXED,
+    region_table_rows,
+    region_tables_struct,
+)
+from marie_ai_spark.ref_ops.table_ops import (
+    alphanumeric_value,
+    money_value,
+    parse_md_tables,
+)
+from marie_ai_spark.sources.transcripts import gen_pandas
+
+N_CONVS = 150
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return gen_pandas(N_CONVS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def corpus_sdf(spark, corpus):
+    return spark.createDataFrame(corpus)
+
+
+def _oracle_tables(corpus, **kw):
+    want = {}
+    for row in corpus.itertuples():
+        for t in parse_md_tables(row.text, **kw):
+            want[(row.conv_id, row.turn_idx, t["table_idx"])] = (
+                t["headers"],
+                t["rows"],
+                t["footer"],
+            )
+    return want
+
+
+def test_struct_tables_match_oracle(spark, corpus, corpus_sdf):
+    got = {
+        (r.conv_id, r.turn_idx, r.table_idx): (
+            list(r.headers),
+            [list(x) for x in r.rows],
+            list(r.footer) if r.footer is not None else None,
+        )
+        for r in region_tables_struct(corpus_sdf).collect()
+    }
+    want = _oracle_tables(corpus)
+    assert len(want) > 20, "fixture too small to be meaningful"
+    assert got == want
+
+
+def test_fixed_strategy_matches_oracle(spark, corpus, corpus_sdf):
+    got = {
+        (r.conv_id, r.turn_idx, r.table_idx): [list(x) for x in r.rows]
+        for r in region_tables_struct(
+            corpus_sdf, strategy=PRIMARY_COLUMN_FIXED, fixed_rows=2
+        ).collect()
+    }
+    want = {
+        k: v[1]
+        for k, v in _oracle_tables(
+            corpus, strategy=PRIMARY_COLUMN_FIXED, fixed_rows=2
+        ).items()
+    }
+    assert got == want
+
+
+def test_long_form_consistent_with_struct(spark, corpus_sdf, corpus):
+    rows = region_table_rows(corpus_sdf).collect()
+    want = _oracle_tables(corpus)
+    by_record = {}
+    for r in rows:
+        by_record.setdefault(
+            (r.conv_id, r.turn_idx, r.table_idx, r.row_idx), {}
+        )[r.col_idx] = (r.col_name, r.value)
+    for (cid, tix, tbl, ridx), cols in by_record.items():
+        headers, recs, _ = want[(cid, tix, tbl)]
+        rec = recs[ridx]
+        assert [cols[i][1] for i in sorted(cols)] == rec
+        assert [cols[i][0] for i in sorted(cols)] == headers
+
+
+# ------------------------------------------------- handcrafted semantics
+
+MD = "\n".join(
+    [
+        "prose before",
+        "| h1 | h2 | h3 |",
+        "|---|---|---|",
+        "| a | b | c |",
+        "|  | b2 | c2 |",
+        "| d |  | f |",
+        "| TOTAL: |  | 9.50 |",
+        "",
+        "| x | y | z |",
+        "|---|---|---|",
+        "| 1 | 2 | 0 |",
+        "| 3 | 4 | 0 |",
+        "|  |  | 9 |",
+    ]
+)
+
+
+def test_variable_strategy_and_footers():
+    t1, t2 = parse_md_tables(MD)
+    assert t1["headers"] == ["h1", "h2", "h3"]
+    # continuation line merges cell-wise into the open record
+    assert t1["rows"] == [["a", "b b2", "c c2"], ["d", "", "f"]]
+    assert t1["footer"] == ["TOTAL:", "", "9.50"]
+    # empty-leading-cells footer rule on the second table
+    assert t2["rows"] == [["1", "2", "0"], ["3", "4", "0"]]
+    assert t2["footer"] == ["", "", "9"]
+
+
+def test_composite_fixed_groups_ordinals():
+    (t1, t2) = parse_md_tables(MD, strategy=COMPOSITE_FIXED, fixed_rows=3)
+    assert t1["rows"] == [["a d", "b b2", "c c2 f"]]
+    assert t2["rows"] == [["1 3", "2 4", "0 0"]]
+
+
+def test_header_only_table_survives():
+    (t,) = parse_md_tables("| a | b |\n|---|---|")
+    assert t["headers"] == ["a", "b"] and t["rows"] == [] and t["footer"] is None
+
+
+def test_spark_handcrafted_matches(spark):
+    sdf = spark.createDataFrame(
+        [("c", 0, MD)], "conv_id string, turn_idx int, text string"
+    )
+    got = {
+        r.table_idx: (
+            list(r.headers),
+            [list(x) for x in r.rows],
+            list(r.footer) if r.footer is not None else None,
+        )
+        for r in region_tables_struct(sdf).collect()
+    }
+    want = {
+        t["table_idx"]: (t["headers"], t["rows"], t["footer"])
+        for t in parse_md_tables(MD)
+    }
+    assert got == want
+
+
+# ------------------------------------------------------ field transforms
+
+
+@pytest.mark.parametrize(
+    "raw",
+    [
+        "$1,234.56",
+        "(1,234.56)",
+        "-42",
+        "1 234 56",
+        "",
+        "   ",
+        "no digits here",
+        "7467.21",
+        "$0.005",
+    ],
+)
+def test_money_expr_matches_python_twin(spark, raw):
+    from marie_ai_spark.operators.fields import money_expr
+    from pyspark.sql import functions as F
+
+    got = (
+        spark.createDataFrame([(raw,)], "v string")
+        .select(money_expr(F.col("v")).alias("m"))
+        .first()["m"]
+    )
+    assert got == money_value(raw), raw
+
+
+def test_alnum_expr_matches_python_twin(spark):
+    from marie_ai_spark.operators.fields import alphanumeric_expr
+    from pyspark.sql import functions as F
+
+    raw = "ab-c 1, 2 ,3 x!y"
+    got = (
+        spark.createDataFrame([(raw,)], "v string")
+        .select(alphanumeric_expr(F.col("v")).alias("m"))
+        .first()["m"]
+    )
+    assert got == alphanumeric_value(raw)
+
+
+def test_region_fields_first_match_wins(spark):
+    md = "\n".join(
+        [
+            "- **Amount:** $10.00",
+            "- **Amount:** $99.99",
+            "- **Customer:** alice",
+        ]
+    )
+    md2 = "- **Section:** intro"
+    sdf = spark.createDataFrame(
+        [("c1", 0, md), ("c1", 1, md2)],
+        "conv_id string, turn_idx int, text string",
+    )
+    got = {
+        (r.conv_id, r.field_name): (r.value, r.turn_idx, r.kv_idx)
+        for r in region_fields(sdf).collect()
+    }
+    # first Amount wins (populated_fields dedup); customer beats section
+    # because it appears earlier in document order
+    assert got[("c1", "amount_due")] == ("10.00", 0, 0)
+    assert got[("c1", "doc_subject")] == ("alice", 0, 2)

@@ -1,0 +1,150 @@
+"""Materialize driver-oracle fixtures (no Spark involved).
+
+Two kinds, both pinned to the 100-conversation / seed-42 shape the driver
+uses for correctness at sf0.01:
+
+  fixtures/transcripts_c100_s42.parquet
+      the raw synthetic transcripts (conv_id, turn_idx, text). DuckDB
+      oracle SQL re-parses these IN SQL (markdown KV / tables / fields) —
+      a third independent implementation vs Spark and ref_ops.
+
+  fixtures/oracle/*.parquet
+      expected outputs computed by the pure-Python ref_ops oracle (NOT by
+      the Spark path) for the pandas-UDF pipeline queries that cannot be
+      re-expressed in SQL. oracle_sql() reads them with read_parquet(),
+      giving the driver a real row/hash check instead of `no_oracle`.
+
+Regenerate with `python tools/make_fixtures.py` after any ref_ops or
+generator change; pytest (tests/test_fixtures_current.py) fails if the
+checked-in fixtures drift from the code.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from marie_ai_spark.ref_ops import extract_conversation, extract_turn
+from marie_ai_spark.sources.transcripts import gen_pandas
+
+N_CONVS = 100
+SEED = 42
+ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+
+
+def transcripts_df() -> pd.DataFrame:
+    return gen_pandas(N_CONVS, seed=SEED)
+
+
+def extract_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    recs = []
+    for row in df.itertuples():
+        r = extract_turn(row.text)
+        recs.append(
+            {
+                "conv_id": row.conv_id,
+                "turn_idx": int(row.turn_idx),
+                "doc_kind": r["doc_kind"],
+                "clean_text": r["clean_text"],
+                "n_lines": int(r["n_lines"]),
+                "spans": [tuple(s) for s in r["spans"]],
+            }
+        )
+    return pd.DataFrame(recs).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def continuation_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    recs = []
+    for cid, g in df.sort_values(["conv_id", "turn_idx"]).groupby("conv_id", sort=True):
+        for (_, row), r in zip(g.iterrows(), extract_conversation(list(g.text))):
+            recs.append(
+                {
+                    "conv_id": cid,
+                    "turn_idx": int(row.turn_idx),
+                    "doc_kind": r["doc_kind"],
+                    "clean_text": r["clean_text"],
+                    "n_lines": int(r["n_lines"]),
+                }
+            )
+    return pd.DataFrame(recs)
+
+
+def grid_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    recs = []
+    for row in df.itertuples():
+        r = extract_turn(row.text, pdf_mode="grid")
+        if r["doc_kind"] != "pdf_words":
+            continue
+        recs.append(
+            {
+                "conv_id": row.conv_id,
+                "turn_idx": int(row.turn_idx),
+                "clean_text": r["clean_text"],
+                "n_lines": int(r["n_lines"]),
+            }
+        )
+    return pd.DataFrame(recs)
+
+
+def rollup_oracle(ex: pd.DataFrame) -> pd.DataFrame:
+    g = ex.groupby("conv_id")
+    out = pd.DataFrame(
+        {
+            "n_turns": g.size(),
+            "n_lines": g["n_lines"].sum(),
+            "n_clean_chars": g["clean_text"].apply(lambda s: sum(len(x) for x in s)),
+            "n_html_turns": g["doc_kind"].apply(lambda s: int((s == "html").sum())),
+            "n_pdf_turns": g["doc_kind"].apply(lambda s: int((s == "pdf_words").sum())),
+            "max_turn_idx_plus1": g["turn_idx"].max() + 1,
+        }
+    ).reset_index()
+    return out
+
+
+def span_regions_oracle(ex: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for r in ex.itertuples():
+        for (start, end, label, action) in r.spans:
+            rows.append((label, action, end - start))
+    df = pd.DataFrame(rows, columns=["label", "action", "chars"])
+    return (
+        df.groupby(["label", "action"])
+        .agg(n_regions=("chars", "size"), n_chars=("chars", "sum"))
+        .reset_index()
+    )
+
+
+def main():
+    os.makedirs(os.path.join(ROOT, "oracle"), exist_ok=True)
+    tr = transcripts_df()
+    tr[["conv_id", "turn_idx", "text"]].to_parquet(
+        os.path.join(ROOT, "transcripts_c100_s42.parquet"), index=False
+    )
+
+    ex = extract_oracle(tr)
+    ex[["conv_id", "turn_idx", "doc_kind", "clean_text", "n_lines"]].to_parquet(
+        os.path.join(ROOT, "oracle", "extract_transcripts_c100.parquet"), index=False
+    )
+    continuation_oracle(tr).to_parquet(
+        os.path.join(ROOT, "oracle", "extract_continuation_c100.parquet"), index=False
+    )
+    grid_oracle(tr).to_parquet(
+        os.path.join(ROOT, "oracle", "extract_grid_c100.parquet"), index=False
+    )
+    rollup_oracle(ex).to_parquet(
+        os.path.join(ROOT, "oracle", "conversation_rollup_c100.parquet"), index=False
+    )
+    span_regions_oracle(ex).to_parquet(
+        os.path.join(ROOT, "oracle", "span_regions_c100.parquet"), index=False
+    )
+    for f in sorted(os.listdir(os.path.join(ROOT, "oracle"))):
+        print("wrote", f)
+    print("wrote transcripts_c100_s42.parquet rows=", len(tr))
+
+
+if __name__ == "__main__":
+    main()
