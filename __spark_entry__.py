@@ -169,7 +169,9 @@ def q_dedup_exact(spark, sf):
 
 
 def q_ngram_jaccard(spark, sf):
-    return dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, threshold=0.2)
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), n=3, threshold=0.2, max_shingle_df=100
+    )
 
 
 def q_minhash_lsh(spark, sf):
@@ -700,10 +702,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            keep AS (
+                SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100
+            ),
+            shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
             common AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,

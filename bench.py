@@ -60,6 +60,9 @@ HEADLINE = [
     "q_conversation_rollup",
     "q_span_regions",
     "q_markdown_kv",
+    "q_region_tables",
+    "q_region_table_footers",
+    "q_region_fields",
     "q_training_pipeline",
     "q_media_decode",
     "q_media_frames",

@@ -27,11 +27,14 @@ def token_count(col) -> Column:
     return F.size(tokens(col))
 
 
-def shingles(col, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column.
-    SQL: list comprehension over regexp_split_to_array (see oracle_sql).
-    """
-    w = tokens(col)
+def shingles_of_tokens(wcol, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of an ALREADY-MATERIALIZED token-array
+    column. Callers must project tokens() into a named column first:
+    referencing the split inline makes Catalyst re-evaluate trim+split for
+    every slice of the transform (O(len * n_shingles) re-tokenization —
+    measured 8x slower at sf0.1). Same trap as lang_id's normalization
+    (textstats.py), solved by the projection barrier instead of a cache."""
+    w = F.col(wcol) if isinstance(wcol, str) else wcol
     return F.when(
         F.size(w) >= n,
         F.array_distinct(
@@ -41,6 +44,14 @@ def shingles(col, n: int = 3) -> Column:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column.
+    SQL: list comprehension over regexp_split_to_array (see oracle_sql).
+    Prefer tokens() into a named column + shingles_of_tokens() in hot paths
+    (see that function's note on projection collapse)."""
+    return shingles_of_tokens(tokens(col), n)
 
 
 def cosine(a, b) -> Column:

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import shingles, stable_fingerprint
+from ..functions import shingles_of_tokens, stable_fingerprint, tokens
 
 MINHASH_HASHES = 8
 MINHASH_BANDS = 4  # 2 hashes per band
@@ -35,20 +35,50 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
 
 
 def _doc_shingles(documents: DataFrame, n: int) -> DataFrame:
-    return documents.select(
-        "doc_id", F.explode(shingles("text", n)).alias("shingle")
+    # two-step projection: tokens materialized BEFORE the shingle transform
+    # (inline, Catalyst re-tokenizes per shingle — 8x slower; see
+    # functions.shingles_of_tokens)
+    return documents.select("doc_id", tokens("text").alias("w")).select(
+        "doc_id", F.explode(shingles_of_tokens("w", n)).alias("shingle")
     )
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.2
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word n-gram Jaccard.
 
     candidate generation: equi-join on shared shingle (no cross join);
     verification: |A∩B| / (|A|+|B|-|A∩B|) from the distinct-shingle counts.
+
+    `max_shingle_df` is the 100 TB safety valve: shingles appearing in more
+    than that many documents are dropped from the vocabulary BEFORE the
+    self-join (a stop-shingle shared by f docs otherwise contributes f²
+    join rows — quadratic in the hottest key). With the cap, the result is
+    the exact Jaccard over the capped shingle vocabulary — the standard
+    stop-shingle trick in web-scale near-dup pipelines. Sizes use the same
+    capped vocabulary so the measure stays a true Jaccard.
+
+    No .cache(): the shingle relation is recomputed per consumer (explode
+    is scan-cheap) and Spark reuses the shingle-keyed exchange for both
+    sides of the self-join; at 100 TB a cached shingle table would not fit
+    and a recompute is strictly cheaper than a spill-to-disk cache.
     """
-    sh = _doc_shingles(documents, n).cache()
+    sh = _doc_shingles(documents, n)
+    if max_shingle_df is not None:
+        # the HOT set is tiny by definition (few shingles exceed the cap),
+        # so broadcast an anti-join against it — the filter itself is then
+        # shuffle-free; only the DF count pays one shingle-keyed exchange
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -78,6 +108,50 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def verify_jaccard_pairs(
+    documents: DataFrame, pairs: DataFrame, n: int = 3
+) -> DataFrame:
+    """Exact Jaccard for a GIVEN candidate pair list (doc_a, doc_b) — the
+    verification stage after MinHash-LSH candidate generation. Join volume
+    is O(|pairs| * shingles-per-doc), never all shared-shingle pairs.
+    Returns (doc_a, doc_b, jaccard)."""
+    sh = _doc_shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = sh.withColumnRenamed("doc_id", "doc_a")
+    b_sh = sh.select(
+        F.col("doc_id").alias("b_doc"), F.col("shingle").alias("shingle_b")
+    )
+    common = (
+        pairs.join(a_sh, "doc_a")
+        .join(
+            b_sh,
+            (F.col("doc_b") == F.col("b_doc"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
     )
 
 

@@ -20,7 +20,28 @@ from pyspark.sql import functions as F
 DEFAULT_SALT = 16
 
 
-def conversation_text(extracted: DataFrame, chunk_turns: int = 64) -> DataFrame:
+def _single_phase_text(extracted: DataFrame) -> DataFrame:
+    """Plain ordered concat — optimal when no group is large enough to
+    bottleneck one reducer (the extra shuffle+sort of the chunk-salted plan
+    measured ~70% overhead at 4M uniform rows, BENCH/skew.json)."""
+    turn_key = F.struct(F.col("turn_idx"), F.col("clean_text"))
+    return extracted.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(turn_key)),
+                lambda s: s["clean_text"],
+            ),
+            "\n\n",
+        ).alias("conversation_text"),
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+    )
+
+
+def conversation_text(
+    extracted: DataFrame,
+    chunk_turns: int = 64,
+    adaptive_threshold: int | None = None,
+) -> DataFrame:
     """Reassemble each conversation's cleaned text in (turn_idx) order —
     the conversation-level analog of the page->document text rollup.
 
@@ -31,7 +52,23 @@ def conversation_text(extracted: DataFrame, chunk_turns: int = 64) -> DataFrame:
     turns in order (bounded state per group), and phase 2 concatenates the
     chunks in chunk order. Result is identical to a single ordered
     concatenation; no group ever exceeds `chunk_turns` turns in phase 1.
+
+    `adaptive_threshold`: when set, a cheap key-count pre-pass (reads only
+    conv_id — column pruning keeps it far cheaper than the reassembly)
+    picks the single-phase plan if the LARGEST group is at or below the
+    threshold. BENCH/skew.json records the crossover: below it the salt's
+    extra exchange is pure overhead; above it the single reducer is the
+    wall. At 100 TB run with a threshold around 10^5 turns.
     """
+    if adaptive_threshold is not None:
+        mx_row = (
+            extracted.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c"))
+            .first()
+        )
+        if (mx_row[0] or 0) <= adaptive_threshold:
+            return _single_phase_text(extracted)
     chunked = extracted.withColumn(
         "_chunk", (F.col("turn_idx") / F.lit(chunk_turns)).cast("long")
     )

@@ -66,13 +66,19 @@ def build_training_set(
         .drop("fp", "k")
     )
 
-    # 4. near dedup on the survivors: LSH candidates, verified by Jaccard,
-    #    then drop the lexicographically larger member of each dup pair
+    # 4. near dedup on the survivors: MinHash-LSH candidate pairs, exact
+    #    Jaccard verification ONLY on those pairs, then drop the
+    #    lexicographically larger member of each dup pair. Verification
+    #    volume is O(candidates x shingles-per-doc), never the all-shared-
+    #    shingle-pairs blowup a direct Jaccard self-join would produce.
     docs = uniq.select(
         F.concat_ws("\x1f", "conv_id", F.col("turn_idx")).alias("doc_id"),
         F.col("clean_text").alias("text"),
     )
-    near = dedup.ngram_jaccard_pairs(docs, n=3, threshold=jaccard_threshold)
+    candidates = dedup.minhash_lsh_candidates(docs, n=3)
+    near = dedup.verify_jaccard_pairs(docs, candidates, n=3).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
     losers = near.select(F.col("doc_b").alias("doc_id")).distinct()
     survivors = docs.join(losers, "doc_id", "left_anti")
 

@@ -307,3 +307,60 @@ def test_fuzzy_selector_kind():
     t = "keep\nBEGIN NOISe\njunk\nEND NOIS\nkeep2"
     r = extract_turn(t, rules)
     assert r["clean_text"] == "keep\nkeep2"
+
+
+def test_verify_jaccard_pairs_matches_full_join(spark, docs):
+    """LSH-candidate verification must equal the full shared-shingle join
+    restricted to those pairs (same jaccard values)."""
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()
+    }
+    cands = dedup.minhash_lsh_candidates(docs, n=3)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.verify_jaccard_pairs(docs, cands, n=3).collect()
+    }
+    assert got, "no candidates verified"
+    for pair, j in got.items():
+        assert full[pair] == j, pair
+
+
+def test_ngram_df_cap_drops_hot_shingle(spark):
+    """A stop-shingle shared by every doc must not generate pairs when the
+    DF cap excludes it; unique-content docs then share nothing."""
+    rows = [(i, f"common stop phrase unique{i} body{i} tail{i}") for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.01).count()
+    capped = dedup.ngram_jaccard_pairs(
+        d, n=3, threshold=0.01, max_shingle_df=5
+    ).count()
+    assert uncapped > 0 and capped == 0
+
+
+def test_conversation_text_adaptive_equals_two_phase(spark):
+    from marie_ai_spark.operators.rollup import conversation_text
+
+    rows = [
+        ("c1", t, f"turn {t}") for t in range(40)
+    ] + [("c2", t, f"x {t}") for t in range(3)]
+    ext = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, clean_text string"
+    )
+    two = {
+        r.conv_id: (r.conversation_text, r.n_turns)
+        for r in conversation_text(ext, chunk_turns=7).collect()
+    }
+    single = {
+        r.conv_id: (r.conversation_text, r.n_turns)
+        for r in conversation_text(
+            ext, chunk_turns=7, adaptive_threshold=1000
+        ).collect()
+    }
+    forced_salted = {
+        r.conv_id: (r.conversation_text, r.n_turns)
+        for r in conversation_text(
+            ext, chunk_turns=7, adaptive_threshold=0
+        ).collect()
+    }
+    assert two == single == forced_salted

@@ -110,6 +110,53 @@ def main():
         t_single = None
         print("single-phase failed:", str(ex)[:200], file=sys.stderr)
 
+    # adaptive: the key-count pre-pass + whichever plan it picks
+    def adaptive():
+        from marie_ai_spark.operators.rollup import conversation_text
+
+        conversation_text(
+            ext_like, chunk_turns=4096, adaptive_threshold=100_000
+        ).select("conv_id", F.length("conversation_text")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    t_adaptive = timed(adaptive)
+
+    # hot-shingle near-dup probe: one stop-shingle shared by `hot_docs`
+    # documents makes the uncapped shared-shingle self-join emit hot_docs^2
+    # rows; the DF cap drops it before the join.
+    hot_docs = 4000
+    docs = spark.range(20_000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") < hot_docs, F.lit("common stop phrase "))
+            .otherwise(F.lit("")),
+            F.lit("unique body "),
+            F.sha2(F.col("id").cast("string"), 256),
+            F.lit(" "),
+            F.sha2((F.col("id") + 1).cast("string"), 256),
+            F.lit(" "),
+            F.sha2((F.col("id") + 2).cast("string"), 256),
+        ).alias("text"),
+    )
+    docs.write.mode("overwrite").parquet("/tmp/skew_docs")
+    docs_p = spark.read.parquet("/tmp/skew_docs")
+
+    from marie_ai_spark.operators import dedup
+
+    def jaccard_uncapped():
+        dedup.ngram_jaccard_pairs(docs_p, n=3, threshold=0.2).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    def jaccard_capped():
+        dedup.ngram_jaccard_pairs(
+            docs_p, n=3, threshold=0.2, max_shingle_df=100
+        ).write.format("noop").mode("overwrite").save()
+
+    t_j_capped = timed(jaccard_capped)
+    t_j_uncapped = timed(jaccard_uncapped)
+
     out = {
         "rows": n,
         "hot_key_share": 0.5,
@@ -117,7 +164,17 @@ def main():
         "join_sec_skewjoin_on": t_skew,
         "reassembly_sec_single_phase": t_single,
         "reassembly_sec_chunk_salted": t_two,
+        "reassembly_sec_adaptive": t_adaptive,
+        "ngram_hot_shingle_docs": hot_docs,
+        "ngram_sec_uncapped": t_j_uncapped,
+        "ngram_sec_capped_df100": t_j_capped,
     }
+    try:  # preserve manually-recorded sections (e.g. the 20M crossover)
+        with open("BENCH/skew.json") as f:
+            prev = json.load(f)
+        out.update({k: v for k, v in prev.items() if k not in out})
+    except (OSError, ValueError):
+        pass
     with open("BENCH/skew.json", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
