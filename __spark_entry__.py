@@ -419,6 +419,27 @@ def q_region_fields(spark, sf):
     return region_fields(tr)
 
 
+def q_multiline_match(spark, sf):
+    """Multi-line fuzzy window matching (lexical channel of the reference's
+    MultiLinePatternMatcher), JVM set algebra; SQL oracle re-scores the
+    fixture independently."""
+    from marie_ai_spark.operators.multiline import multiline_candidates
+
+    n_convs = 400 if "0.1" in sf else 100
+    tr = gen_spark(spark, n_convs, seed=42)
+    return multiline_candidates(tr)
+
+
+def q_multiline_blocks(spark, sf):
+    """Full matcher output: greedy overlap suppression per turn; oracle is
+    the ref_ops python twin's output materialized as fixture parquet."""
+    from marie_ai_spark.operators.multiline import multiline_blocks
+
+    n_convs = 400 if "0.1" in sf else 100
+    tr = gen_spark(spark, n_convs, seed=42)
+    return multiline_blocks(tr)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -464,6 +485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_region_tables": q_region_tables,
         "q_region_table_footers": q_region_table_footers,
         "q_region_fields": q_region_fields,
+        "q_multiline_match": q_multiline_match,
+        "q_multiline_blocks": q_multiline_blocks,
         "q_media_decode": q_media_decode,
         "q_media_frames": q_media_frames,
         "q_serialize_blobs": q_serialize_blobs,
@@ -1128,6 +1151,74 @@ def oracle_sql() -> dict[str, str]:
                      ELSE trim(value)
                    END AS value
             FROM money
+        """,
+        "q_multiline_match": f"""
+            WITH {_FIXTURE_LINES_CTE},
+            leads AS (
+                SELECT conv_id, turn_idx, line_no, raw,
+                       lead(raw, 1) OVER w AS l1,
+                       lead(raw, 2) OVER w AS l2,
+                       lead(raw, 3) OVER w AS l3
+                FROM lines
+                WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY line_no)
+            ),
+            wins AS (
+                SELECT conv_id, turn_idx, line_no - 1 AS start_line,
+                       line_no AS end_line, 2 AS window_size,
+                       raw || chr(10) || l1 AS wtxt
+                FROM leads WHERE l1 IS NOT NULL
+                UNION ALL
+                SELECT conv_id, turn_idx, line_no - 1, line_no + 1, 3,
+                       raw || chr(10) || l1 || chr(10) || l2
+                FROM leads WHERE l2 IS NOT NULL
+                UNION ALL
+                SELECT conv_id, turn_idx, line_no - 1, line_no + 2, 4,
+                       raw || chr(10) || l1 || chr(10) || l2 || chr(10) || l3
+                FROM leads WHERE l3 IS NOT NULL
+            ),
+            feat AS (
+                SELECT conv_id, turn_idx, start_line, end_line, window_size,
+                       list_distinct(regexp_extract_all(lower(wtxt), '[a-z0-9]+')) AS toks,
+                       regexp_replace(lower(wtxt), '\\s+', ' ', 'g') AS norm
+                FROM wins
+            ),
+            feat2 AS (
+                SELECT *, CASE WHEN len(norm) >= 3
+                     THEN list_distinct([norm[i:i+2] for i in range(1, len(norm) - 1)])
+                     ELSE []::VARCHAR[] END AS grams
+                FROM feat
+            ),
+            refblk AS (
+                SELECT label,
+                       list_distinct(regexp_extract_all(lower(ref_text), '[a-z0-9]+')) AS ref_toks,
+                       CASE WHEN len(regexp_replace(lower(ref_text), '\\s+', ' ', 'g')) >= 3
+                            THEN list_distinct([regexp_replace(lower(ref_text), '\\s+', ' ', 'g')[i:i+2]
+                                  for i in range(1, len(regexp_replace(lower(ref_text), '\\s+', ' ', 'g')) - 1)])
+                            ELSE []::VARCHAR[] END AS ref_grams
+                FROM (VALUES
+                    ('kv_block', '- **Key:** value data' || chr(10) || '- **Amount:** $1,234.56'),
+                    ('table_block', '| key | value | data |' || chr(10) || '| row | column | table |')
+                ) AS t(label, ref_text)
+            ),
+            scored AS (
+                SELECT conv_id, turn_idx, label,
+                       CAST(start_line AS INT) AS start_line,
+                       CAST(end_line AS INT) AS end_line,
+                       CAST(window_size AS INT) AS window_size,
+                       0.6 * (CAST(len(list_intersect(toks, ref_toks)) AS DOUBLE)
+                              / greatest(1, len(list_distinct(toks || ref_toks))))
+                     + 0.4 * (CASE WHEN len(grams) > 0 AND len(ref_grams) > 0
+                              THEN CAST(len(list_intersect(grams, ref_grams)) AS DOUBLE)
+                                   / greatest(1, len(list_distinct(grams || ref_grams)))
+                              ELSE 0.0 END) AS score
+                FROM feat2, refblk
+            )
+            SELECT * FROM scored WHERE score >= 0.25
+        """,
+        "q_multiline_blocks": """
+            SELECT conv_id, turn_idx, label, start_line, end_line,
+                   window_size, score
+            FROM read_parquet('/root/repo/fixtures/oracle/multiline_blocks_c100.parquet')
         """,
         # pandas-UDF pipelines: the oracle is the pure-Python ref_ops output
         # materialized by tools/make_fixtures.py (NOT the Spark path) at the

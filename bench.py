@@ -63,6 +63,8 @@ HEADLINE = [
     "q_region_tables",
     "q_region_table_footers",
     "q_region_fields",
+    "q_multiline_match",
+    "q_multiline_blocks",
     "q_training_pipeline",
     "q_media_decode",
     "q_media_frames",

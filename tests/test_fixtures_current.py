@@ -66,3 +66,10 @@ def test_span_regions_fixture_current(ex):
         mk.span_regions_oracle(ex),
         os.path.join("oracle", "span_regions_c100.parquet"),
     )
+
+
+def test_multiline_fixture_current(tr):
+    _eq(
+        mk.multiline_oracle(tr),
+        os.path.join("oracle", "multiline_blocks_c100.parquet"),
+    )

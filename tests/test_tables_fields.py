@@ -213,3 +213,49 @@ def test_region_fields_first_match_wins(spark):
     # because it appears earlier in document order
     assert got[("c1", "amount_due")] == ("10.00", 0, 0)
     assert got[("c1", "doc_subject")] == ("alice", 0, 2)
+
+
+# ------------------------------------------------------ multiline matcher
+
+
+def test_multiline_spark_matches_twin(spark, corpus, corpus_sdf):
+    from marie_ai_spark.operators.multiline import (
+        multiline_blocks,
+        multiline_candidates,
+    )
+    from marie_ai_spark.ref_ops.multiline import (
+        DEFAULT_REFERENCE_BLOCKS,
+        DEFAULT_THRESHOLD,
+        match_blocks,
+        match_candidates,
+    )
+
+    key = lambda r: (r.conv_id, r.turn_idx, r.label, r.start_line, r.end_line)
+    got_c = {key(r): r.score for r in multiline_candidates(corpus_sdf).collect()}
+    got_b = {key(r): r.score for r in multiline_blocks(corpus_sdf).collect()}
+    want_c, want_b = {}, {}
+    for row in corpus.itertuples():
+        for c in match_candidates(
+            row.text, DEFAULT_REFERENCE_BLOCKS, threshold=DEFAULT_THRESHOLD
+        ):
+            want_c[(row.conv_id, row.turn_idx, c["label"], c["start_line"], c["end_line"])] = c["score"]
+        for c in match_blocks(
+            row.text, DEFAULT_REFERENCE_BLOCKS, threshold=DEFAULT_THRESHOLD
+        ):
+            want_b[(row.conv_id, row.turn_idx, c["label"], c["start_line"], c["end_line"])] = c["score"]
+    assert got_c == want_c and len(got_c) > 20
+    assert got_b == want_b and len(got_b) > 5
+
+
+def test_suppression_greedy_semantics():
+    from marie_ai_spark.ref_ops.multiline import suppress_overlapping_blocks
+
+    blocks = [
+        {"label": "a", "start_line": 0, "end_line": 2, "window_size": 3, "score": 0.9},
+        {"label": "b", "start_line": 1, "end_line": 3, "window_size": 3, "score": 0.8},
+        {"label": "c", "start_line": 3, "end_line": 4, "window_size": 2, "score": 0.7},
+        {"label": "d", "start_line": 5, "end_line": 6, "window_size": 2, "score": 0.6},
+    ]
+    kept = suppress_overlapping_blocks(blocks)
+    # 0.9 claims 0-2; 0.8 overlaps -> dropped; 0.7 claims 3-4; 0.6 claims 5-6
+    assert [b["label"] for b in kept] == ["a", "c", "d"]

@@ -29,6 +29,11 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from marie_ai_spark.ref_ops import extract_conversation, extract_turn
+from marie_ai_spark.ref_ops.multiline import (
+    DEFAULT_REFERENCE_BLOCKS,
+    DEFAULT_THRESHOLD,
+    match_blocks,
+)
 from marie_ai_spark.sources.transcripts import gen_pandas
 
 N_CONVS = 100
@@ -118,6 +123,37 @@ def span_regions_oracle(ex: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def multiline_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    recs = []
+    for row in df.itertuples():
+        for b in match_blocks(
+            row.text, DEFAULT_REFERENCE_BLOCKS, threshold=DEFAULT_THRESHOLD
+        ):
+            recs.append(
+                {
+                    "conv_id": row.conv_id,
+                    "turn_idx": int(row.turn_idx),
+                    "label": b["label"],
+                    "start_line": int(b["start_line"]),
+                    "end_line": int(b["end_line"]),
+                    "window_size": int(b["window_size"]),
+                    "score": float(b["score"]),
+                }
+            )
+    return pd.DataFrame(
+        recs,
+        columns=[
+            "conv_id",
+            "turn_idx",
+            "label",
+            "start_line",
+            "end_line",
+            "window_size",
+            "score",
+        ],
+    )
+
+
 def main():
     os.makedirs(os.path.join(ROOT, "oracle"), exist_ok=True)
     tr = transcripts_df()
@@ -140,6 +176,9 @@ def main():
     )
     span_regions_oracle(ex).to_parquet(
         os.path.join(ROOT, "oracle", "span_regions_c100.parquet"), index=False
+    )
+    multiline_oracle(tr).to_parquet(
+        os.path.join(ROOT, "oracle", "multiline_blocks_c100.parquet"), index=False
     )
     for f in sorted(os.listdir(os.path.join(ROOT, "oracle"))):
         print("wrote", f)
