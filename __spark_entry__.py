@@ -430,6 +430,18 @@ def q_multiline_match(spark, sf):
     return multiline_candidates(tr)
 
 
+def q_hybrid_annotate(spark, sf):
+    """FAISS-hybrid annotator analog: fuzzy-first + hashing-embedding
+    softmax over target labels, highest-confidence dedup; oracle is the
+    ref_ops python twin's output (brute-force cosine over the label set ==
+    full-probe index search)."""
+    from marie_ai_spark.operators.hybrid import hybrid_annotate
+
+    n_convs = 400 if "0.1" in sf else 100
+    tr = gen_spark(spark, n_convs, seed=42)
+    return hybrid_annotate(tr)
+
+
 def q_multiline_blocks(spark, sf):
     """Full matcher output: greedy overlap suppression per turn; oracle is
     the ref_ops python twin's output materialized as fixture parquet."""
@@ -487,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_region_fields": q_region_fields,
         "q_multiline_match": q_multiline_match,
         "q_multiline_blocks": q_multiline_blocks,
+        "q_hybrid_annotate": q_hybrid_annotate,
         "q_media_decode": q_media_decode,
         "q_media_frames": q_media_frames,
         "q_serialize_blobs": q_serialize_blobs,
@@ -1219,6 +1232,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, label, start_line, end_line,
                    window_size, score
             FROM read_parquet('/root/repo/fixtures/oracle/multiline_blocks_c100.parquet')
+        """,
+        "q_hybrid_annotate": """
+            SELECT conv_id, label, strategy, value, turn_idx, line_no,
+                   tok_start, ngram_size, score
+            FROM read_parquet('/root/repo/fixtures/oracle/hybrid_annotate_c100.parquet')
         """,
         # pandas-UDF pipelines: the oracle is the pure-Python ref_ops output
         # materialized by tools/make_fixtures.py (NOT the Spark path) at the

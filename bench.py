@@ -65,6 +65,7 @@ HEADLINE = [
     "q_region_fields",
     "q_multiline_match",
     "q_multiline_blocks",
+    "q_hybrid_annotate",
     "q_training_pipeline",
     "q_media_decode",
     "q_media_frames",

@@ -73,3 +73,10 @@ def test_multiline_fixture_current(tr):
         mk.multiline_oracle(tr),
         os.path.join("oracle", "multiline_blocks_c100.parquet"),
     )
+
+
+def test_hybrid_fixture_current(tr):
+    _eq(
+        mk.hybrid_oracle(tr),
+        os.path.join("oracle", "hybrid_annotate_c100.parquet"),
+    )

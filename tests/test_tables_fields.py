@@ -259,3 +259,45 @@ def test_suppression_greedy_semantics():
     kept = suppress_overlapping_blocks(blocks)
     # 0.9 claims 0-2; 0.8 overlaps -> dropped; 0.7 claims 3-4; 0.6 claims 5-6
     assert [b["label"] for b in kept] == ["a", "c", "d"]
+
+
+# ------------------------------------------------------- hybrid annotator
+
+
+def test_hybrid_spark_matches_twin(spark, corpus, corpus_sdf):
+    from marie_ai_spark.operators.hybrid import hybrid_annotate
+    from marie_ai_spark.ref_ops.hybrid import annotate_text, dedup_extractions
+
+    got = {
+        (r.conv_id, r.label): (
+            r.strategy, r.score, r.value, r.turn_idx, r.line_no,
+            r.tok_start, r.ngram_size,
+        )
+        for r in hybrid_annotate(corpus_sdf).collect()
+    }
+    rows = []
+    for row in corpus.itertuples():
+        rows.extend(annotate_text(row.conv_id, int(row.turn_idx), row.text))
+    want = {
+        (r["conv_id"], r["label"]): (
+            r["strategy"], r["score"], r["value"], r["turn_idx"],
+            r["line_no"], r["tok_start"], r["ngram_size"],
+        )
+        for r in dedup_extractions(rows)
+    }
+    assert len(want) > 50
+    assert got == want
+
+
+def test_hybrid_fuzzy_direct_beats_embedding(spark):
+    """An exact label mention must match via fuzzy-direct with score 1."""
+    from marie_ai_spark.operators.hybrid import hybrid_annotate
+
+    sdf = spark.createDataFrame(
+        [("c1", 0, "please review the customer order today")],
+        "conv_id string, turn_idx int, text string",
+    )
+    rows = {r.label: r for r in hybrid_annotate(sdf).collect()}
+    r = rows["customer order"]
+    assert r.strategy == "fuzzy-direct" and r.score == 1.0
+    assert r.value == "customer order"

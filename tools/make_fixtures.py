@@ -29,6 +29,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from marie_ai_spark.ref_ops import extract_conversation, extract_turn
+from marie_ai_spark.ref_ops.hybrid import annotate_text, dedup_extractions
 from marie_ai_spark.ref_ops.multiline import (
     DEFAULT_REFERENCE_BLOCKS,
     DEFAULT_THRESHOLD,
@@ -154,6 +155,29 @@ def multiline_oracle(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+HYBRID_COLS = [
+    "conv_id",
+    "label",
+    "strategy",
+    "value",
+    "turn_idx",
+    "line_no",
+    "tok_start",
+    "ngram_size",
+    "score",
+]
+
+
+def hybrid_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for row in df.itertuples():
+        rows.extend(annotate_text(row.conv_id, int(row.turn_idx), row.text))
+    kept = dedup_extractions(rows)
+    return pd.DataFrame(
+        [{k: r[k] for k in HYBRID_COLS} for r in kept], columns=HYBRID_COLS
+    )
+
+
 def main():
     os.makedirs(os.path.join(ROOT, "oracle"), exist_ok=True)
     tr = transcripts_df()
@@ -179,6 +203,9 @@ def main():
     )
     multiline_oracle(tr).to_parquet(
         os.path.join(ROOT, "oracle", "multiline_blocks_c100.parquet"), index=False
+    )
+    hybrid_oracle(tr).to_parquet(
+        os.path.join(ROOT, "oracle", "hybrid_annotate_c100.parquet"), index=False
     )
     for f in sorted(os.listdir(os.path.join(ROOT, "oracle"))):
         print("wrote", f)
