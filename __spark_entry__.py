@@ -150,6 +150,20 @@ def q_returnflag_vote(spark, sf):
     )
 
 
+def q_vote_fallback(spark, sf):
+    """A4 full voting semantics: min_vote_count threshold with the
+    default-engine / best-confidence fallback branches and a recorded
+    strategy column (l_linenumber stands in for the engine rank)."""
+    return sessions.vote_with_fallback(
+        _t(spark, sf, "lineitem"),
+        "l_orderkey",
+        "l_returnflag",
+        "l_quantity",
+        "l_linenumber",
+        min_vote_count=3,
+    )
+
+
 def q_sessionize(spark, sf):
     return sessions.sessionize(_t(spark, sf, "events"), gap_seconds=28800)
 
@@ -341,6 +355,25 @@ def q_serialize_blobs(spark, sf):
     return serialize_blobs(parse_words(tr))
 
 
+def q_adlib_pages(spark, sf):
+    """S11 AdlibRenderer page sink: per-page OCR XML strings, byte-equal to
+    ElementTree serialization (fixture oracle from the ref_ops twin)."""
+    from marie_ai_spark.operators.layout import serialize_adlib
+
+    n_convs = 400 if "0.1" in sf else 100
+    tr = gen_spark(spark, n_convs, seed=42)
+    return serialize_adlib(tr)
+
+
+def q_adlib_summary(spark, sf):
+    """S11 summary manifest: per pdf_words turn, the <OCR> page listing."""
+    from marie_ai_spark.operators.layout import adlib_summary
+
+    n_convs = 400 if "0.1" in sf else 100
+    tr = gen_spark(spark, n_convs, seed=42)
+    return adlib_summary(tr)
+
+
 def q_media_decode(spark, sf):
     """Multimodal plumbing: binary media column -> decoded metadata via the
     Arrow-batched stub codec (rows-only; synthetic assets)."""
@@ -430,6 +463,17 @@ def q_multiline_match(spark, sf):
     return multiline_candidates(tr)
 
 
+def q_validate_sections(spark, sf):
+    """E3 full candidate validation: the fix_mismatched_sections DFA over
+    boilerplate cutpoint markers, collapsed to one lead() window (the
+    equivalence to the literal DFA is property-tested)."""
+    from marie_ai_spark.operators.validator import validated_boilerplate_sections
+
+    n_convs = 400 if "0.1" in sf else 100
+    tr = gen_spark(spark, n_convs, seed=42)
+    return validated_boilerplate_sections(tr)
+
+
 def q_hybrid_annotate(spark, sf):
     """FAISS-hybrid annotator analog: fuzzy-first + hashing-embedding
     softmax over target labels, highest-confidence dedup; oracle is the
@@ -460,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top3_orders_per_customer": q_top3_orders_per_customer,
         "q_order_priority_count": q_order_priority_count,
         "q_returnflag_vote": q_returnflag_vote,
+        "q_vote_fallback": q_vote_fallback,
         "q_sessionize": q_sessionize,
         "q_asof_signup_before_purchase": q_asof_signup_before_purchase,
         "q_value_range_join": q_value_range_join,
@@ -500,6 +545,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multiline_match": q_multiline_match,
         "q_multiline_blocks": q_multiline_blocks,
         "q_hybrid_annotate": q_hybrid_annotate,
+        "q_validate_sections": q_validate_sections,
+        "q_adlib_pages": q_adlib_pages,
+        "q_adlib_summary": q_adlib_summary,
         "q_media_decode": q_media_decode,
         "q_media_frames": q_media_frames,
         "q_serialize_blobs": q_serialize_blobs,
@@ -680,6 +728,55 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY l_orderkey, l_returnflag
             )
             WHERE rn = 1
+        """,
+        "q_vote_fallback": """
+            WITH counted AS (
+                SELECT l_orderkey, l_returnflag,
+                       count(*) AS votes,
+                       CAST(round(sum(l_quantity::DECIMAL(18,6)), 4)
+                            AS DECIMAL(18,4)) AS total_weight
+                FROM lineitem GROUP BY l_orderkey, l_returnflag
+            ),
+            best AS (
+                SELECT l_orderkey, l_returnflag AS vote_value, votes, total_weight
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY l_orderkey
+                        ORDER BY votes DESC, total_weight DESC, l_returnflag
+                    ) AS rn FROM counted
+                ) WHERE rn = 1
+            ),
+            defaults AS (
+                SELECT l_orderkey, l_returnflag AS default_value,
+                       l_quantity AS default_conf
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY l_orderkey
+                        ORDER BY l_linenumber, l_returnflag, l_quantity DESC
+                    ) AS rn FROM lineitem
+                ) WHERE rn = 1
+            ),
+            maxconf AS (
+                SELECT l_orderkey, l_returnflag AS conf_value,
+                       l_quantity AS conf_weight
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY l_orderkey
+                        ORDER BY l_quantity DESC, l_returnflag, l_linenumber
+                    ) AS rn FROM lineitem
+                ) WHERE rn = 1
+            )
+            SELECT b.l_orderkey,
+                   CASE WHEN votes >= 3 THEN vote_value
+                        WHEN conf_weight > default_conf THEN conf_value
+                        ELSE default_value END AS winner,
+                   CASE WHEN votes >= 3 THEN 'voting'
+                        WHEN conf_weight > default_conf THEN 'confidence'
+                        ELSE 'default' END AS strategy,
+                   votes, total_weight
+            FROM best b
+            JOIN defaults d ON b.l_orderkey = d.l_orderkey
+            JOIN maxconf m ON b.l_orderkey = m.l_orderkey
         """,
         "q_sessionize": """
             WITH g AS (
@@ -1238,6 +1335,29 @@ def oracle_sql() -> dict[str, str]:
                    tok_start, ngram_size, score
             FROM read_parquet('/root/repo/fixtures/oracle/hybrid_annotate_c100.parquet')
         """,
+        "q_validate_sections": f"""
+            WITH {_FIXTURE_LINES_CTE},
+            marked AS (
+                SELECT conv_id, turn_idx, line_no - 1 AS pos,
+                       CASE WHEN regexp_matches(raw, '^BEGIN BOILERPLATE$') THEN 'START'
+                            WHEN regexp_matches(raw, '^END BOILERPLATE$') THEN 'STOP'
+                       END AS kind,
+                       count(*) OVER (PARTITION BY conv_id, turn_idx) AS n_lines
+                FROM lines
+            ),
+            m AS (SELECT * FROM marked WHERE kind IS NOT NULL),
+            stepped AS (
+                SELECT *, lead(pos) OVER w AS nxt_pos, lead(kind) OVER w AS nxt_kind
+                FROM m
+                WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY pos, kind)
+            )
+            SELECT conv_id, turn_idx, CAST(pos AS INT) AS start_line,
+                   CAST(coalesce(nxt_pos, n_lines) AS INT) AS stop_line,
+                   CASE WHEN nxt_kind = 'STOP' THEN 'start-stop'
+                        WHEN nxt_kind = 'START' THEN 'start-start'
+                        ELSE 'run-to-end' END AS transition
+            FROM stepped WHERE kind = 'START'
+        """,
         # pandas-UDF pipelines: the oracle is the pure-Python ref_ops output
         # materialized by tools/make_fixtures.py (NOT the Spark path) at the
         # driver's correctness shape (100 convs / seed 42 at sf<=0.01).
@@ -1259,6 +1379,14 @@ def oracle_sql() -> dict[str, str]:
         "q_span_regions": """
             SELECT label, action, n_regions, n_chars
             FROM read_parquet('/root/repo/fixtures/oracle/span_regions_c100.parquet')
+        """,
+        "q_adlib_pages": """
+            SELECT conv_id, turn_idx, page, page_xml, n_words
+            FROM read_parquet('/root/repo/fixtures/oracle/adlib_pages_c100.parquet')
+        """,
+        "q_adlib_summary": """
+            SELECT conv_id, turn_idx, summary_xml, n_pages
+            FROM read_parquet('/root/repo/fixtures/oracle/adlib_summary_c100.parquet')
         """,
         # q_training_pipeline / q_media_* / q_serialize_blobs remain
         # rows-only (composed pandas-UDF pipelines / synthetic media);

@@ -66,6 +66,10 @@ HEADLINE = [
     "q_multiline_match",
     "q_multiline_blocks",
     "q_hybrid_annotate",
+    "q_vote_fallback",
+    "q_validate_sections",
+    "q_adlib_pages",
+    "q_adlib_summary",
     "q_training_pipeline",
     "q_media_decode",
     "q_media_frames",

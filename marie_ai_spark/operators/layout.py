@@ -243,3 +243,129 @@ def serialize_blobs(words: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_blobs"),
         )
     )
+
+
+def _xml_attr_escape(col):
+    """ElementTree _escape_attrib: & first, then < > \" (newlines/tabs don't
+    occur in word tokens)."""
+    esc = col
+    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;")):
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    return esc
+
+
+def _parse_pages(transcripts: DataFrame) -> DataFrame:
+    """pdf_words turns -> one row per page with dims + the word array."""
+    is_pdf = F.ltrim(F.col("text")).startswith("{") & F.substring(
+        F.ltrim(F.col("text")), 1, 256
+    ).contains('"pages"')
+    return (
+        transcripts.filter(is_pdf)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.from_json("text", PDF_PAYLOAD_SCHEMA).alias("doc"),
+        )
+        .select("conv_id", "turn_idx", F.explode("doc.pages").alias("pg"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("pg.page").alias("page"),
+            F.col("pg.width").alias("width"),
+            F.col("pg.height").alias("height"),
+            F.col("pg.words").alias("words"),
+        )
+    )
+
+
+_ADLIB_DPI = 300.0
+
+
+def serialize_adlib(transcripts: DataFrame) -> DataFrame:
+    """S11 AdlibRenderer page sink (marie/renderer/adlib_renderer.py:66-124):
+    per page, the OCR XML (<PAGE ...><TEXT /><TEXTSTRING .../></PAGE>) as a
+    string column, byte-equal to ElementTree serialization (pinned against
+    ref_ops/adlib.py). Pure column algebra: from_json parse + one transform
+    over the word array — no shuffle at all (the XML assembles inside the
+    page row)."""
+    pages = _parse_pages(transcripts)
+    pnum = (F.col("page") + 1).cast("string")
+    fmt = lambda v: F.format_string("%.4f", v)
+    word_xml = F.transform(
+        F.col("words"),
+        lambda w: F.concat(
+            F.lit('<TEXTSTRING CONSECUTIVE="FALSE" FONTNAME="Courier" '
+                  'FONTSIZE="32" NoLocation="FALSE" PageNumber="'),
+            pnum,
+            F.lit('" LEFT="'),
+            fmt(w["box"][0] / _ADLIB_DPI),
+            F.lit('" RIGHT="'),
+            fmt((w["box"][0] + w["box"][2]) / _ADLIB_DPI),
+            F.lit('" TOP="'),
+            fmt((w["box"][1] - w["box"][3]) / _ADLIB_DPI),
+            F.lit('" BOTTOM="'),
+            fmt((w["box"][1] + w["box"][3]) / _ADLIB_DPI),
+            F.lit('" WORD="'),
+            _xml_attr_escape(w["text"]),
+            F.lit('" />'),
+        ),
+    )
+    page_xml = F.concat(
+        F.lit('<PAGE HEIGHT="'),
+        (F.col("height") / _ADLIB_DPI).cast("string"),
+        F.lit('" WIDTH="'),
+        (F.col("width") / _ADLIB_DPI).cast("string"),
+        F.lit('" ImageType="Unknown" NUMBER="'),
+        pnum,
+        F.lit('" OCREndTime="0" OCRStartTime="0" Producer="marie" '
+              'XRESOLUTION="300.0" YRESOLUTION="300.0">'),
+        F.lit("<TEXT />"),
+        F.array_join(word_xml, ""),
+        F.lit("</PAGE>"),
+    )
+    return pages.select(
+        "conv_id",
+        "turn_idx",
+        "page",
+        page_xml.alias("page_xml"),
+        F.size("words").alias("n_words"),
+    )
+
+
+def adlib_summary(transcripts: DataFrame) -> DataFrame:
+    """S11 summary manifest (adlib_renderer.py:30-63): per pdf_words turn,
+    the <OCR> summary XML listing every page with its generated filename.
+    One groupBy on (conv_id, turn_idx)."""
+    pages = _parse_pages(transcripts).select("conv_id", "turn_idx", "page")
+    per_doc = pages.groupBy("conv_id", "turn_idx").agg(
+        F.array_sort(F.collect_list("page")).alias("pgs")
+    )
+    page_nodes = F.array_join(
+        F.transform(
+            F.col("pgs"),
+            lambda p: F.concat(
+                F.lit('<PAGE Filename="'),
+                (p + 1).cast("string"),
+                F.lit('.tif.xml" NUMBER="'),
+                (p + 1).cast("string"),
+                F.lit('" />'),
+            ),
+        ),
+        "",
+    )
+    summary = F.concat(
+        F.lit(
+            '<OCR><METADATAELEMENTS>'
+            '<METADATAELEMENT FIELD="OCR" VALUE="MARIE-AI" />'
+            '<METADATAELEMENT FIELD="CreationDate" VALUE="2026-01-01 00:00:00" />'
+            "</METADATAELEMENTS><PAGES>"
+        ),
+        page_nodes,
+        F.lit("</PAGES></OCR>"),
+    )
+    return per_doc.select(
+        "conv_id",
+        "turn_idx",
+        summary.alias("summary_xml"),
+        F.size("pgs").alias("n_pages"),
+    )

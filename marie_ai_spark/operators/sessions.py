@@ -101,6 +101,94 @@ def value_range_bucket(events: DataFrame, bounds: list[float]) -> DataFrame:
     )
 
 
+def vote_with_fallback(
+    df: DataFrame,
+    key: str,
+    candidate: str,
+    weight: str,
+    engine: str,
+    min_vote_count: int = 2,
+) -> DataFrame:
+    """Full A4 voting semantics (get_words_by_vote_by_selector,
+    marie/ocr/voting_ocr_engine.py:186-255): majority vote with the
+    below-threshold fallback branch and a recorded strategy.
+
+      voting       the best candidate group (most votes, ties by higher
+                   summed weight then value) has >= min_vote_count votes
+      confidence   below threshold and some candidate row's single weight
+                   beats the default engine's — that row wins (:240-249)
+      default      below threshold, the default engine's value stands
+                   (words[0] of the default processor, :236-239); the
+                   `engine` column's MINIMUM marks the default engine
+
+    One groupBy plus three windows over the same key partition. Weight sums
+    accumulate in decimal so the oracle hash is exact.
+    """
+    counted = df.groupBy(key, candidate).agg(
+        F.count(F.lit(1)).alias("votes"),
+        F.round(F.sum(F.col(weight).cast("decimal(18,6)")), 4)
+        .cast("decimal(18,4)")
+        .alias("total_weight"),
+    )
+    wwin = Window.partitionBy(key).orderBy(
+        F.desc("votes"), F.desc("total_weight"), F.asc(candidate)
+    )
+    best = (
+        counted.withColumn("rn", F.row_number().over(wwin))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(key),
+            F.col(candidate).alias("vote_value"),
+            "votes",
+            "total_weight",
+        )
+    )
+    # weight in the ordering: engine ranks may collide in the data, and an
+    # (engine, candidate) tie would otherwise pick a nondeterministic weight
+    wdef = Window.partitionBy(key).orderBy(
+        F.asc(engine), F.asc(candidate), F.desc(weight)
+    )
+    defaults = (
+        df.withColumn("rn", F.row_number().over(wdef))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(key),
+            F.col(candidate).alias("default_value"),
+            F.col(weight).alias("default_conf"),
+        )
+    )
+    wconf = Window.partitionBy(key).orderBy(
+        F.desc(weight), F.asc(candidate), F.asc(engine)
+    )
+    maxconf = (
+        df.withColumn("rn", F.row_number().over(wconf))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(key),
+            F.col(candidate).alias("conf_value"),
+            F.col(weight).alias("conf_weight"),
+        )
+    )
+    j = best.join(defaults, key).join(maxconf, key)
+    strategy = (
+        F.when(F.col("votes") >= min_vote_count, F.lit("voting"))
+        .when(F.col("conf_weight") > F.col("default_conf"), F.lit("confidence"))
+        .otherwise(F.lit("default"))
+    )
+    winner = (
+        F.when(F.col("votes") >= min_vote_count, F.col("vote_value"))
+        .when(F.col("conf_weight") > F.col("default_conf"), F.col("conf_value"))
+        .otherwise(F.col("default_value"))
+    )
+    return j.select(
+        F.col(key),
+        winner.alias("winner"),
+        strategy.alias("strategy"),
+        "votes",
+        "total_weight",
+    )
+
+
 def majority_vote(
     df: DataFrame, key: str, candidate: str, weight: str
 ) -> DataFrame:

@@ -80,3 +80,14 @@ def test_hybrid_fixture_current(tr):
         mk.hybrid_oracle(tr),
         os.path.join("oracle", "hybrid_annotate_c100.parquet"),
     )
+
+
+def test_adlib_fixtures_current(tr):
+    _eq(
+        mk.adlib_pages_oracle(tr),
+        os.path.join("oracle", "adlib_pages_c100.parquet"),
+    )
+    _eq(
+        mk.adlib_summary_oracle(tr),
+        os.path.join("oracle", "adlib_summary_c100.parquet"),
+    )

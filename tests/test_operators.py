@@ -364,3 +364,29 @@ def test_conversation_text_adaptive_equals_two_phase(spark):
         ).collect()
     }
     assert two == single == forced_salted
+
+
+def test_vote_with_fallback_strategies(spark):
+    """All three A4 branches (voting_ocr_engine.py:186-255): voting at or
+    above min_vote_count; below it, confidence beats the default engine only
+    when a candidate's single weight exceeds the default's."""
+    rows = [
+        # k1: 'x' has 2 votes -> voting
+        ("k1", "x", 0.5, 1), ("k1", "x", 0.6, 2), ("k1", "y", 0.9, 3),
+        # k2: all single votes; default engine (1) has the best weight -> default
+        ("k2", "a", 0.9, 1), ("k2", "b", 0.5, 2), ("k2", "c", 0.4, 3),
+        # k3: all single votes; engine 3's weight beats engine 1 -> confidence
+        ("k3", "a", 0.3, 1), ("k3", "b", 0.5, 2), ("k3", "c", 0.8, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, cand string, conf double, eng int"
+    )
+    out = {
+        r.key: (r.winner, r.strategy, r.votes)
+        for r in sessions.vote_with_fallback(
+            df, "key", "cand", "conf", "eng", min_vote_count=2
+        ).collect()
+    }
+    assert out["k1"] == ("x", "voting", 2)
+    assert out["k2"] == ("a", "default", 1)
+    assert out["k3"] == ("c", "confidence", 1)

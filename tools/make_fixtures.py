@@ -29,6 +29,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from marie_ai_spark.ref_ops import extract_conversation, extract_turn
+from marie_ai_spark.ref_ops.adlib import render_page_xml, render_summary_xml
 from marie_ai_spark.ref_ops.hybrid import annotate_text, dedup_extractions
 from marie_ai_spark.ref_ops.multiline import (
     DEFAULT_REFERENCE_BLOCKS,
@@ -178,6 +179,47 @@ def hybrid_oracle(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _pdf_docs(df: pd.DataFrame):
+    import json
+
+    for row in df.itertuples():
+        t = (row.text or "").lstrip()
+        if t.startswith("{") and '"pages"' in t[:256]:
+            yield row, json.loads(row.text)
+
+
+def adlib_pages_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    recs = []
+    for row, doc in _pdf_docs(df):
+        for pg in doc["pages"]:
+            recs.append(
+                {
+                    "conv_id": row.conv_id,
+                    "turn_idx": int(row.turn_idx),
+                    "page": int(pg["page"]),
+                    "page_xml": render_page_xml(
+                        pg["page"] + 1, pg["width"], pg["height"], pg["words"]
+                    ),
+                    "n_words": len(pg["words"]),
+                }
+            )
+    return pd.DataFrame(recs)
+
+
+def adlib_summary_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    recs = []
+    for row, doc in _pdf_docs(df):
+        recs.append(
+            {
+                "conv_id": row.conv_id,
+                "turn_idx": int(row.turn_idx),
+                "summary_xml": render_summary_xml(len(doc["pages"])),
+                "n_pages": len(doc["pages"]),
+            }
+        )
+    return pd.DataFrame(recs)
+
+
 def main():
     os.makedirs(os.path.join(ROOT, "oracle"), exist_ok=True)
     tr = transcripts_df()
@@ -206,6 +248,12 @@ def main():
     )
     hybrid_oracle(tr).to_parquet(
         os.path.join(ROOT, "oracle", "hybrid_annotate_c100.parquet"), index=False
+    )
+    adlib_pages_oracle(tr).to_parquet(
+        os.path.join(ROOT, "oracle", "adlib_pages_c100.parquet"), index=False
+    )
+    adlib_summary_oracle(tr).to_parquet(
+        os.path.join(ROOT, "oracle", "adlib_summary_c100.parquet"), index=False
     )
     for f in sorted(os.listdir(os.path.join(ROOT, "oracle"))):
         print("wrote", f)
