@@ -347,7 +347,8 @@ def q_conversation_rollup(spark, sf):
 
 
 def q_serialize_blobs(spark, sf):
-    """S10 XML blob sink over parsed pdf words (rows-only)."""
+    """S10 XML blob sink over parsed pdf words (fixture oracle from the
+    python twin in tools/make_fixtures.blobs_oracle)."""
     from marie_ai_spark.operators.layout import parse_words, serialize_blobs
 
     n_convs = 400 if "0.1" in sf else 100
@@ -1387,6 +1388,10 @@ def oracle_sql() -> dict[str, str]:
         "q_adlib_summary": """
             SELECT conv_id, turn_idx, summary_xml, n_pages
             FROM read_parquet('/root/repo/fixtures/oracle/adlib_summary_c100.parquet')
+        """,
+        "q_serialize_blobs": """
+            SELECT conv_id, turn_idx, page, blobs_xml, n_blobs
+            FROM read_parquet('/root/repo/fixtures/oracle/serialize_blobs_c100.parquet')
         """,
         # q_training_pipeline / q_media_* / q_serialize_blobs remain
         # rows-only (composed pandas-UDF pipelines / synthetic media);

@@ -44,9 +44,9 @@ def parse_words(transcripts: DataFrame) -> DataFrame:
     """pdf_words turns -> one row per word with page + box columns.
     JVM-side JSON parse (from_json) + posexplode; Catalyst prunes the
     payload to the fields used downstream."""
-    is_pdf = F.ltrim(F.col("text")).startswith("{") & F.substring(
-        F.ltrim(F.col("text")), 1, 256
-    ).contains('"pages"')
+    # structural sniff (matches ref_ops.detect._PDF_RE): payload must OPEN
+    # with the "pages" key, not merely mention it somewhere in the head
+    is_pdf = F.col("text").rlike(r'^\s*\{\s*"pages"\s*:\s*\[')
     parsed = (
         transcripts.filter(is_pdf)
         .select(
@@ -256,9 +256,9 @@ def _xml_attr_escape(col):
 
 def _parse_pages(transcripts: DataFrame) -> DataFrame:
     """pdf_words turns -> one row per page with dims + the word array."""
-    is_pdf = F.ltrim(F.col("text")).startswith("{") & F.substring(
-        F.ltrim(F.col("text")), 1, 256
-    ).contains('"pages"')
+    # structural sniff (matches ref_ops.detect._PDF_RE): payload must OPEN
+    # with the "pages" key, not merely mention it somewhere in the head
+    is_pdf = F.col("text").rlike(r'^\s*\{\s*"pages"\s*:\s*\[')
     return (
         transcripts.filter(is_pdf)
         .select(

@@ -80,9 +80,12 @@ def chunk_tokens(
     """Split token arrays into fixed-budget chunks with overlap (the LMDX
     chunking semantics), JVM-side: sequence + transform + posexplode."""
     stride = max_len - overlap
+    # a start is only useful while it adds uncovered tokens: start+overlap
+    # must lie inside the doc, else the trailing chunk is wholly contained
+    # in the previous one (duplicate training content)
     starts = F.sequence(
         F.lit(0),
-        F.greatest(F.size("token_ids") - 1, F.lit(0)),
+        F.greatest(F.size("token_ids") - overlap - 1, F.lit(0)),
         F.lit(stride),
     )
     chunks = F.transform(

@@ -8,6 +8,9 @@ from __future__ import annotations
 import re
 
 _MD_RE = re.compile(r"(?m)^(## |\- \*\*|\|.+\|\s*$)")
+# structural sniff: the payload must OPEN with a "pages" key — a tool_log
+# whose url/content merely mentions "pages" must not route to the pdf parser
+_PDF_RE = re.compile(r'^\{\s*"pages"\s*:\s*\[')
 
 
 def detect_doc_kind(text: str) -> str:
@@ -15,8 +18,7 @@ def detect_doc_kind(text: str) -> str:
         return "plain"
     t = text.lstrip()
     if t.startswith("{"):
-        head = t[:256]
-        return "pdf_words" if '"pages"' in head else "tool_log"
+        return "pdf_words" if _PDF_RE.match(t) else "tool_log"
     low = t[:512].lower()
     if "<html" in low or "<!doctype" in low or "<body" in low:
         return "html"

@@ -65,6 +65,12 @@ class _Walker(HTMLParser):
     def handle_endtag(self, tag):
         if tag in _VOID:
             return
+        if tag not in self.stack:
+            # stray end tag (</div> with no open <div>): ignore it instead
+            # of unwinding the whole stack — unwinding would zero the
+            # skip/chrome/link depths and misclassify the rest of the
+            # document on malformed HTML
+            return
         # pop to the matching open tag (tolerates mild nesting errors)
         while self.stack:
             top = self.stack.pop()

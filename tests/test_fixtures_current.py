@@ -91,3 +91,10 @@ def test_adlib_fixtures_current(tr):
         mk.adlib_summary_oracle(tr),
         os.path.join("oracle", "adlib_summary_c100.parquet"),
     )
+
+
+def test_blobs_fixture_current(tr):
+    _eq(
+        mk.blobs_oracle(tr),
+        os.path.join("oracle", "serialize_blobs_c100.parquet"),
+    )

@@ -72,8 +72,10 @@ def test_chunking_covers_all_tokens(spark, transcripts):
     for r in joined:
         assert r.max_len <= 32
         if r.n_tokens > 0:
-            # starts at 0, stride 24, last start <= n_tokens-1
-            assert r.n_chunks == (r.n_tokens - 1) // 24 + 1
+            # starts at 0, stride 24, last start <= max(n_tokens-overlap-1, 0)
+            # (a start inside the previous chunk's coverage would emit a
+            # wholly-duplicated trailing chunk)
+            assert r.n_chunks == max(r.n_tokens - 8 - 1, 0) // 24 + 1
 
 
 def test_voting_prefers_richer_variant(spark, transcripts):
@@ -162,3 +164,17 @@ def test_vote_words_argmax(spark):
            for r in vote_words({"trocr": e1, "paddle": e2}).collect()}
     assert out[1] == ("hello", "paddle")  # higher confidence wins
     assert out[2] == ("world", "trocr")
+
+
+def test_chunking_no_fully_covered_trailing_chunk(spark):
+    """A 512-token doc at max_len=512/overlap=64 must yield ONE chunk, not a
+    512 + trailing 64 wholly contained in it; 513 tokens yield two."""
+    rows = [("c", 0, list(range(512))), ("c", 1, list(range(513)))]
+    tok = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, token_ids array<int>"
+    )
+    out = {}
+    for r in chunk_tokens(tok, max_len=512, overlap=64).collect():
+        out.setdefault(r.turn_idx, []).append(r.chunk_len)
+    assert out[0] == [512]
+    assert sorted(out[1]) == [65, 512]

@@ -206,6 +206,38 @@ def adlib_pages_oracle(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(recs)
 
 
+def blobs_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    """S10 BlobRenderer twin: per page, `<blobs><blob .../></blobs>` with
+    blobs ordered by (y, x, word_id, fragment) and &/</> escaped — the
+    python mirror of operators/layout.serialize_blobs."""
+
+    def esc(s: str) -> str:
+        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    recs = []
+    for row, doc in _pdf_docs(df):
+        for pg in doc["pages"]:
+            frags = []
+            for w in pg["words"]:
+                x, y, wd, ht = w["box"]
+                b = (
+                    f'<blob x="{x}" y="{y}" w="{wd}" h="{ht}">'
+                    f"{esc(w['text'])}</blob>"
+                )
+                frags.append((y, x, w["id"], b))
+            frags.sort()
+            recs.append(
+                {
+                    "conv_id": row.conv_id,
+                    "turn_idx": int(row.turn_idx),
+                    "page": int(pg["page"]),
+                    "blobs_xml": "<blobs>" + "".join(b for *_, b in frags) + "</blobs>",
+                    "n_blobs": len(frags),
+                }
+            )
+    return pd.DataFrame(recs)
+
+
 def adlib_summary_oracle(df: pd.DataFrame) -> pd.DataFrame:
     recs = []
     for row, doc in _pdf_docs(df):
@@ -254,6 +286,9 @@ def main():
     )
     adlib_summary_oracle(tr).to_parquet(
         os.path.join(ROOT, "oracle", "adlib_summary_c100.parquet"), index=False
+    )
+    blobs_oracle(tr).to_parquet(
+        os.path.join(ROOT, "oracle", "serialize_blobs_c100.parquet"), index=False
     )
     for f in sorted(os.listdir(os.path.join(ROOT, "oracle"))):
         print("wrote", f)
