@@ -356,6 +356,28 @@ def q_serialize_blobs(spark, sf):
     return serialize_blobs(parse_words(tr))
 
 
+def q_merge_iou(spark, sf):
+    """T4 merge-by-IoU: per-page greedy box absorption (overlap.py:288-319)
+    through the shared twin, bounded per-page groups."""
+    from marie_ai_spark.operators.boxes import merge_word_boxes_iou
+    from marie_ai_spark.operators.layout import parse_words
+
+    n_convs = 400 if "0.1" in sf else 100
+    tr = gen_spark(spark, n_convs, seed=42)
+    return merge_word_boxes_iou(parse_words(tr), inflate_x=24)
+
+
+def q_merge_horizontal(spark, sf):
+    """T3 horizontal merge: iterative claim-and-union rounds per page
+    (overlap.py:321-384)."""
+    from marie_ai_spark.operators.boxes import merge_word_boxes_horizontal
+    from marie_ai_spark.operators.layout import parse_words
+
+    n_convs = 400 if "0.1" in sf else 100
+    tr = gen_spark(spark, n_convs, seed=42)
+    return merge_word_boxes_horizontal(parse_words(tr), inflate_x=24)
+
+
 def q_adlib_pages(spark, sf):
     """S11 AdlibRenderer page sink: per-page OCR XML strings, byte-equal to
     ElementTree serialization (fixture oracle from the ref_ops twin)."""
@@ -549,6 +571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_validate_sections": q_validate_sections,
         "q_adlib_pages": q_adlib_pages,
         "q_adlib_summary": q_adlib_summary,
+        "q_merge_iou": q_merge_iou,
+        "q_merge_horizontal": q_merge_horizontal,
         "q_media_decode": q_media_decode,
         "q_media_frames": q_media_frames,
         "q_serialize_blobs": q_serialize_blobs,
@@ -1392,6 +1416,14 @@ def oracle_sql() -> dict[str, str]:
         "q_serialize_blobs": """
             SELECT conv_id, turn_idx, page, blobs_xml, n_blobs
             FROM read_parquet('/root/repo/fixtures/oracle/serialize_blobs_c100.parquet')
+        """,
+        "q_merge_iou": """
+            SELECT conv_id, turn_idx, page, block_idx, x1, y1, x2, y2
+            FROM read_parquet('/root/repo/fixtures/oracle/merge_iou_c100.parquet')
+        """,
+        "q_merge_horizontal": """
+            SELECT conv_id, turn_idx, page, block_idx, x1, y1, x2, y2
+            FROM read_parquet('/root/repo/fixtures/oracle/merge_horizontal_c100.parquet')
         """,
         # q_training_pipeline / q_media_* / q_serialize_blobs remain
         # rows-only (composed pandas-UDF pipelines / synthetic media);

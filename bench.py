@@ -70,6 +70,8 @@ HEADLINE = [
     "q_validate_sections",
     "q_adlib_pages",
     "q_adlib_summary",
+    "q_merge_iou",
+    "q_merge_horizontal",
     "q_training_pipeline",
     "q_media_decode",
     "q_media_frames",

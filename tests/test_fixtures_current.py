@@ -98,3 +98,11 @@ def test_blobs_fixture_current(tr):
         mk.blobs_oracle(tr),
         os.path.join("oracle", "serialize_blobs_c100.parquet"),
     )
+
+
+def test_box_merge_fixtures_current(tr):
+    _eq(mk.merge_iou_oracle(tr), os.path.join("oracle", "merge_iou_c100.parquet"))
+    _eq(
+        mk.merge_horizontal_oracle(tr),
+        os.path.join("oracle", "merge_horizontal_c100.parquet"),
+    )

@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from marie_ai_spark.ref_ops import extract_conversation, extract_turn
 from marie_ai_spark.ref_ops.adlib import render_page_xml, render_summary_xml
+from marie_ai_spark.ref_ops.boxes import merge_boxes, merge_boxes_by_iou
 from marie_ai_spark.ref_ops.hybrid import annotate_text, dedup_extractions
 from marie_ai_spark.ref_ops.multiline import (
     DEFAULT_REFERENCE_BLOCKS,
@@ -238,6 +239,44 @@ def blobs_oracle(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(recs)
 
 
+BOX_INFLATE_X = 24  # widen boxes so gap-separated words actually merge
+
+
+def _box_merge_oracle(df: pd.DataFrame, fn) -> pd.DataFrame:
+    recs = []
+    for row, doc in _pdf_docs(df):
+        for pg in doc["pages"]:
+            words = sorted(pg["words"], key=lambda w: w["id"])
+            boxes = [
+                [w["box"][0], w["box"][1],
+                 w["box"][0] + w["box"][2] + BOX_INFLATE_X,
+                 w["box"][1] + w["box"][3]]
+                for w in words
+            ]
+            for i, b in enumerate(fn(boxes)):
+                recs.append(
+                    {
+                        "conv_id": row.conv_id,
+                        "turn_idx": int(row.turn_idx),
+                        "page": int(pg["page"]),
+                        "block_idx": i,
+                        "x1": int(b[0]),
+                        "y1": int(b[1]),
+                        "x2": int(b[2]),
+                        "y2": int(b[3]),
+                    }
+                )
+    return pd.DataFrame(recs)
+
+
+def merge_iou_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    return _box_merge_oracle(df, merge_boxes_by_iou)
+
+
+def merge_horizontal_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    return _box_merge_oracle(df, merge_boxes)
+
+
 def adlib_summary_oracle(df: pd.DataFrame) -> pd.DataFrame:
     recs = []
     for row, doc in _pdf_docs(df):
@@ -289,6 +328,12 @@ def main():
     )
     blobs_oracle(tr).to_parquet(
         os.path.join(ROOT, "oracle", "serialize_blobs_c100.parquet"), index=False
+    )
+    merge_iou_oracle(tr).to_parquet(
+        os.path.join(ROOT, "oracle", "merge_iou_c100.parquet"), index=False
+    )
+    merge_horizontal_oracle(tr).to_parquet(
+        os.path.join(ROOT, "oracle", "merge_horizontal_c100.parquet"), index=False
     )
     for f in sorted(os.listdir(os.path.join(ROOT, "oracle"))):
         print("wrote", f)
