@@ -475,6 +475,16 @@ def q_region_fields(spark, sf):
     return region_fields(tr)
 
 
+def q_entity_vote(spark, sf):
+    """A6 LMDX entity majority vote: every selector match is a sampled
+    response; the most frequent transformed value wins per (conv, field)."""
+    from marie_ai_spark.operators.fields import field_entity_votes
+
+    n_convs = 400 if "0.1" in sf else 100
+    tr = gen_spark(spark, n_convs, seed=42)
+    return field_entity_votes(tr)
+
+
 def q_multiline_match(spark, sf):
     """Multi-line fuzzy window matching (lexical channel of the reference's
     MultiLinePatternMatcher), JVM set algebra; SQL oracle re-scores the
@@ -565,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_region_tables": q_region_tables,
         "q_region_table_footers": q_region_table_footers,
         "q_region_fields": q_region_fields,
+        "q_entity_vote": q_entity_vote,
         "q_multiline_match": q_multiline_match,
         "q_multiline_blocks": q_multiline_blocks,
         "q_hybrid_annotate": q_hybrid_annotate,
@@ -1286,6 +1297,73 @@ def oracle_sql() -> dict[str, str]:
                      ELSE trim(value)
                    END AS value
             FROM money
+        """,
+        "q_entity_vote": f"""
+            WITH {_FIXTURE_LINES_CTE},
+            kvm AS (
+                SELECT conv_id, turn_idx, line_no,
+                       regexp_extract(raw, '^-\\s+\\*\\*(.+?)\\*\\*\\s*:?\\s*(.*)$', 1) AS k,
+                       regexp_extract(raw, '^-\\s+\\*\\*(.+?)\\*\\*\\s*:?\\s*(.*)$', 2) AS v
+                FROM lines
+                WHERE regexp_matches(raw, '^-\\s+\\*\\*(.+?)\\*\\*\\s*:?\\s*(.*)$')
+            ),
+            kv AS (
+                SELECT conv_id,
+                       regexp_replace(trim(k), ':$', '') AS key,
+                       trim(v) AS value
+                FROM kvm
+            ),
+            spec(field_name, selector, field_type) AS (
+                VALUES ('amount_due', 'amount', 'MONEY'),
+                       ('doc_subject', 'customer', 'ALPHA'),
+                       ('doc_subject', 'section', 'ALPHA'),
+                       ('ref_code', 'key', 'ALPHA_NUMERIC'),
+                       ('ref_code', 'word', 'ALPHA_NUMERIC')
+            ),
+            matched AS (
+                SELECT kv.conv_id, spec.field_name, spec.field_type, kv.value
+                FROM kv JOIN spec ON lower(kv.key) = spec.selector
+            ),
+            money AS (
+                SELECT *, try_cast(
+                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                        value, '[()\\-]', '', 'g'),
+                        '(\\d)\\s+(\\d)', '\\1.\\2', 'g'),
+                        '[$, ]', '', 'g'),
+                        '[^0-9.]', '', 'g') AS DECIMAL(18,4)) AS m_num,
+                    ((value LIKE '%(%' AND value LIKE '%)%')
+                     OR value LIKE '%-%') AS m_neg
+                FROM matched
+            ),
+            responses AS (
+                SELECT conv_id, field_name,
+                       CASE field_type
+                         WHEN 'MONEY' THEN
+                           CASE WHEN trim(value) = '' OR m_num IS NULL THEN '0.00'
+                                ELSE CAST(CAST(CASE WHEN m_neg
+                                         THEN -round(m_num, 2)
+                                         ELSE round(m_num, 2) END
+                                     AS DECIMAL(18,2)) AS VARCHAR) END
+                         WHEN 'ALPHA_NUMERIC' THEN
+                           regexp_replace(regexp_replace(
+                               value, '\\s*,\\s*', ',', 'g'),
+                               '[^a-zA-Z0-9,]', '', 'g')
+                         ELSE trim(value)
+                       END AS value
+                FROM money
+            ),
+            counted AS (
+                SELECT conv_id, field_name, value, count(*) AS votes
+                FROM responses WHERE value IS NOT NULL
+                GROUP BY conv_id, field_name, value
+            )
+            SELECT conv_id, field_name, value, votes
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, field_name
+                    ORDER BY votes DESC, value
+                ) AS rn FROM counted
+            ) WHERE rn = 1
         """,
         "q_multiline_match": f"""
             WITH {_FIXTURE_LINES_CTE},

@@ -63,6 +63,7 @@ HEADLINE = [
     "q_region_tables",
     "q_region_table_footers",
     "q_region_fields",
+    "q_entity_vote",
     "q_multiline_match",
     "q_multiline_blocks",
     "q_hybrid_annotate",

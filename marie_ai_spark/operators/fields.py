@@ -67,6 +67,79 @@ def transform_expr(v, field_type):
     return F.trim(v)  # ALPHA default (transform.py:160)
 
 
+def entity_majority_vote(
+    responses: DataFrame, doc_key: str, entity: str, value: str
+) -> DataFrame:
+    """A6 LMDX entity majority vote (marie/extract/lmdx/pipeline.py:227-248):
+    per (document, entity), the most frequent NON-NULL value across sampled
+    responses; documents whose every sample is null keep a null value. The
+    reference breaks frequency ties by insertion order — here by value asc
+    so the distributed run is deterministic.
+
+    Two-stage count-then-argmax — the same skew-safe shape as the OCR vote.
+    """
+    counted = (
+        responses.filter(F.col(value).isNotNull())
+        .groupBy(doc_key, entity, value)
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy(doc_key, entity).orderBy(
+        F.desc("votes"), F.asc(value)
+    )
+    winners = (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(doc_key, entity, value, "votes")
+    )
+    all_null = (
+        responses.groupBy(doc_key, entity)
+        .agg(F.max(value).alias("any_val"))
+        .filter(F.col("any_val").isNull())
+        .select(
+            doc_key,
+            entity,
+            F.lit(None).cast("string").alias(value),
+            F.lit(0).cast("bigint").alias("votes"),
+        )
+    )
+    return winners.unionByName(all_null)
+
+
+def field_entity_votes(
+    transcripts: DataFrame, specs: list[tuple] | None = None
+) -> DataFrame:
+    """Entity-vote view of the field route: every selector match is a
+    sampled response; the winner per (conv_id, field_name) is the majority
+    transformed value. (region_fields keeps the FIRST match; this is the
+    A6 most-frequent semantics over repeated mentions.)"""
+    specs = specs if specs is not None else DEFAULT_FIELD_SPECS
+    spark = transcripts.sparkSession
+    spec_rows = [
+        (fname, sel.lower(), ftype)
+        for fname, selectors, ftype in specs
+        for sel in selectors
+    ]
+    spec_df = spark.createDataFrame(
+        spec_rows, "field_name string, selector string, field_type string"
+    )
+    kv = markdown_kv_pairs(transcripts)
+    matched = kv.join(
+        F.broadcast(spec_df), F.lower(kv.key) == spec_df.selector, "inner"
+    )
+    responses = matched.select(
+        "conv_id",
+        "field_name",
+        F.when(F.col("field_type") == "MONEY", money_expr(F.col("value")))
+        .when(
+            F.col("field_type") == "ALPHA_NUMERIC",
+            alphanumeric_expr(F.col("value")),
+        )
+        .otherwise(F.trim(F.col("value")))
+        .alias("value"),
+    )
+    return entity_majority_vote(responses, "conv_id", "field_name", "value")
+
+
 def region_fields(
     transcripts: DataFrame, specs: list[tuple] | None = None
 ) -> DataFrame:

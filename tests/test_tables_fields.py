@@ -301,3 +301,24 @@ def test_hybrid_fuzzy_direct_beats_embedding(spark):
     r = rows["customer order"]
     assert r.strategy == "fuzzy-direct" and r.score == 1.0
     assert r.value == "customer order"
+
+
+def test_entity_majority_vote_null_semantics(spark):
+    from marie_ai_spark.operators.fields import entity_majority_vote
+
+    rows = [
+        ("d1", "total", "10"), ("d1", "total", "10"), ("d1", "total", "12"),
+        ("d1", "name", None),
+        ("d2", "total", None), ("d2", "total", "7"),
+        # frequency tie -> value asc wins
+        ("d3", "total", "b"), ("d3", "total", "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc string, entity string, value string")
+    out = {
+        (r.doc, r.entity): (r.value, r.votes)
+        for r in entity_majority_vote(df, "doc", "entity", "value").collect()
+    }
+    assert out[("d1", "total")] == ("10", 2)
+    assert out[("d1", "name")] == (None, 0)  # all-null keeps null
+    assert out[("d2", "total")] == ("7", 1)  # nulls skipped
+    assert out[("d3", "total")] == ("a", 1)
