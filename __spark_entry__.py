@@ -6,11 +6,19 @@ queries()      — SURVEY.md §2 operator surface over the testdata tables,
 oracle_sql()   — DuckDB-equivalent ANSI SQL per query (portable md5-based
                  hashing, fixed-decimal rounding so value hashes match).
 
-Queries with no SQL equivalent (the transcript extraction pipeline itself —
-pandas-UDF parsing of HTML/markdown/pdf-word payloads) are present in
-queries() only; the driver records a rows-only check for them and pytest
-(tests/) carries their full per-turn equality gate against the oracle in
-marie_ai_spark.ref_ops.
+Oracle strategy (three tiers, strongest available per query):
+  1. pure ANSI SQL over the driver's pre-registered tables (most queries);
+  2. pure SQL re-parse of the checked-in transcripts fixture
+     (fixtures/transcripts_c100_s42.parquet) — a third independent
+     implementation for the markdown KV/table/field/multiline/validator
+     operators;
+  3. fixture parquet produced by the pure-Python ref_ops twins
+     (tools/make_fixtures.py) for pandas-UDF pipelines whose semantics are
+     not SQL-expressible (extraction, continuation, grid, hybrid, adlib,
+     box merges). Drift guards in tests/test_fixtures_current.py fail if
+     the fixtures fall behind the code.
+Only q_training_pipeline and the two media stubs remain rows-only; pytest
+carries their equality gates.
 """
 
 from __future__ import annotations
@@ -194,6 +202,14 @@ def q_minhash_lsh(spark, sf):
 
 def q_simhash(spark, sf):
     return dedup.simhash(_t(spark, sf, "documents"), bits=16)
+
+
+def q_simhash_neardup(spark, sf):
+    """SimHash near-dup pairs: pigeonhole banding for candidates, exact
+    Hamming verification (bit_count of xor)."""
+    return dedup.simhash_neardup_pairs(
+        _t(spark, sf, "documents"), bits=16, bands=4, max_hamming=2
+    )
 
 
 def q_token_count(spark, sf):
@@ -545,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
+        "q_simhash_neardup": q_simhash_neardup,
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
         "q_fingerprint": q_fingerprint,
@@ -692,6 +709,36 @@ sh AS (
         FROM tok
     )
 )
+"""
+
+
+# SimHash signature as a reusable CTE chain ending in sig(doc_id, simhash)
+_SIMHASH_SIG_CTE = """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents WHERE trim(text) <> ''
+            ),
+            h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 4))::BIGINT AS hv
+                FROM tok
+            ),
+            bits AS (
+                SELECT doc_id,
+                """ + ",\n                ".join(
+    f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(16)
+) + """
+                FROM h GROUP BY doc_id
+            ),
+            sig AS (
+                SELECT doc_id,
+                       CAST(""" + " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+) + """ AS BIGINT) AS simhash
+                FROM bits
+            )
 """
 
 
@@ -909,31 +956,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
             WHERE a.doc_id < b.doc_id
         """,
-        "q_simhash": """
-            WITH tok AS (
-                SELECT doc_id,
-                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
-                FROM documents WHERE trim(text) <> ''
+        "q_simhash": _SIMHASH_SIG_CTE + """
+            SELECT doc_id, simhash FROM sig
+        """,
+        "q_simhash_neardup": _SIMHASH_SIG_CTE + """
+            , banded AS (
+                SELECT doc_id, simhash, band,
+                       (simhash >> (band * 4)) & 15 AS band_val
+                FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) bands
             ),
-            h AS (
-                SELECT doc_id,
-                       ('0x' || substr(md5(tok), 1, 4))::BIGINT AS hv
-                FROM tok
-            ),
-            bits AS (
-                SELECT doc_id,
-                """ + ",\n                ".join(
-                    f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
-                    for i in range(16)
-                ) + """
-                FROM h GROUP BY doc_id
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.simhash AS sig_a, b.simhash AS sig_b
+                FROM banded a
+                JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
+                WHERE a.doc_id < b.doc_id
             )
-            SELECT doc_id,
-                   CAST(""" + " + ".join(
-                    f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
-                    for i in range(16)
-                ) + """ AS BIGINT) AS simhash
-            FROM bits
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 2
         """,
         "q_token_count": """
             SELECT doc_id,

@@ -34,6 +34,7 @@ HEADLINE = [
     "q_ngram_jaccard",
     "q_minhash_lsh",
     "q_simhash",
+    "q_simhash_neardup",
     "q_token_count",
     "q_quality_score",
     "q_fingerprint",

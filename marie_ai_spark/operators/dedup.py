@@ -197,6 +197,57 @@ def minhash_lsh_candidates(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def simhash_neardup_pairs(
+    documents: DataFrame,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the signature (pigeonhole — any pair
+    within `max_hamming <= bands - 1` bit flips shares at least one intact
+    band), equi-join on (band, band value) for candidates, verify by exact
+    Hamming distance. Same LSH shape as MinHash banding: candidate volume
+    is governed by band-key collisions, never all pairs.
+
+    Returns (doc_a, doc_b, hamming) with hamming <= max_hamming.
+    """
+    assert bits % bands == 0
+    width = bits // bands
+    sig = simhash(documents, bits)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("b")
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.band_val").alias("band_val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, on=["band", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ).cast("int")
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash over word tokens: bit i of the signature is the majority of
     bit i across the tokens' md5 hashes (first 4 hex chars -> 16 bits).

