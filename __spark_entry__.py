@@ -204,6 +204,14 @@ def q_simhash(spark, sf):
     return dedup.simhash(_t(spark, sf, "documents"), bits=16)
 
 
+def q_dup_clusters(spark, sf):
+    """Duplicate clustering: connected components (min-label propagation)
+    over the MinHash-LSH candidate pairs; oracle is a DuckDB recursive-CTE
+    reachability closure — a fully independent algorithm."""
+    pairs = dedup.minhash_lsh_candidates(_t(spark, sf, "documents"), n=3)
+    return dedup.duplicate_clusters(pairs)
+
+
 def q_simhash_neardup(spark, sf):
     """SimHash near-dup pairs: pigeonhole banding for candidates, exact
     Hamming verification (bit_count of xor)."""
@@ -562,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
         "q_simhash_neardup": q_simhash_neardup,
+        "q_dup_clusters": q_dup_clusters,
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
         "q_fingerprint": q_fingerprint,
@@ -958,6 +967,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_simhash": _SIMHASH_SIG_CTE + """
             SELECT doc_id, simhash FROM sig
+        """,
+        "q_dup_clusters": f"""
+            WITH {_SHINGLES_CTE},
+            mh AS (
+                SELECT doc_id,
+                       min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+                       min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+                       min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+                       min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+                SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS band_sig FROM mh
+                UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM mh
+                UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM mh
+                UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM mh
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a
+                JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                WHERE a.doc_id < b.doc_id
+            ),
+            sym AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs
+            ),
+            reach AS (
+                WITH RECURSIVE r(src, dst) AS (
+                    SELECT src, dst FROM sym
+                    UNION
+                    SELECT r.src, e.dst FROM r JOIN sym e ON r.dst = e.src
+                )
+                SELECT * FROM r
+            )
+            SELECT v AS doc_id,
+                   least(v, min(dst)) AS cluster_id
+            FROM (SELECT DISTINCT src AS v FROM sym)
+            JOIN reach ON reach.src = v
+            GROUP BY v
         """,
         "q_simhash_neardup": _SIMHASH_SIG_CTE + """
             , banded AS (

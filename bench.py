@@ -35,6 +35,7 @@ HEADLINE = [
     "q_minhash_lsh",
     "q_simhash",
     "q_simhash_neardup",
+    "q_dup_clusters",
     "q_token_count",
     "q_quality_score",
     "q_fingerprint",

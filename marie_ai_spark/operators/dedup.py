@@ -197,6 +197,63 @@ def minhash_lsh_candidates(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup candidate pairs -> duplicate
+    clusters: (doc_id, cluster_id) with cluster_id = the component's
+    minimum doc_id (the keeper). This is the step that turns pairwise
+    near-dup output into group-level dedup decisions.
+
+    Min-label propagation: each iteration every vertex takes the minimum
+    label among itself and its neighbors; converges in O(diameter)
+    iterations (near-dup components are short chains in practice). The
+    driver-side loop is bounded metadata control flow — per iteration one
+    join + one aggregation, labels cached and the previous iteration
+    unpersisted (at 100 TB swap the cache for a checkpointed staging table,
+    or the large-star/small-star variant for adversarial diameters).
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("comp", F.col("v"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.v == neigh.src, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("comp"), F.coalesce("n_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
 def simhash_neardup_pairs(
     documents: DataFrame,
     bits: int = 16,

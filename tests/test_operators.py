@@ -410,3 +410,19 @@ def test_simhash_neardup_pigeonhole(spark, docs):
         if bin(sigs[a] ^ sigs[b]).count("1") <= 3
     }
     assert out == brute and (1, 2) in out and out[(1, 2)] == 0
+
+
+def test_duplicate_clusters_components(spark):
+    """Chains must converge across multiple propagation hops; disjoint
+    components keep distinct minima."""
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5),        # chain -> min 2
+         (10, 11), (11, 10),            # duplicate edge, component {10,11}
+         (7, 9)],
+        "doc_a long, doc_b long",
+    )
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert out == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10, 7: 7, 9: 7}
