@@ -242,7 +242,8 @@ def q_lang_id(spark, sf):
 
 def q_training_pipeline(spark, sf):
     """Composed training-data pipeline (extract -> quality -> exact+near
-    dedup -> tokenize -> chunk); rows-only (pandas-UDF stages)."""
+    dedup -> tokenize -> chunk); oracle is a fully independent python
+    replication of every stage (tools/make_fixtures.training_pipeline_oracle)."""
     from marie_ai_spark.plans.training_pipeline import build_training_set
 
     n_convs = 400 if "0.1" in sf else 100
@@ -1580,6 +1581,10 @@ def oracle_sql() -> dict[str, str]:
         "q_adlib_summary": """
             SELECT conv_id, turn_idx, summary_xml, n_pages
             FROM read_parquet('/root/repo/fixtures/oracle/adlib_summary_c100.parquet')
+        """,
+        "q_training_pipeline": """
+            SELECT conv_id, turn_idx, chunk_idx, chunk_len
+            FROM read_parquet('/root/repo/fixtures/oracle/training_pipeline_c100.parquet')
         """,
         "q_serialize_blobs": """
             SELECT conv_id, turn_idx, page, blobs_xml, n_blobs

@@ -106,3 +106,10 @@ def test_box_merge_fixtures_current(tr):
         mk.merge_horizontal_oracle(tr),
         os.path.join("oracle", "merge_horizontal_c100.parquet"),
     )
+
+
+def test_training_pipeline_fixture_current(tr):
+    _eq(
+        mk.training_pipeline_oracle(tr),
+        os.path.join("oracle", "training_pipeline_c100.parquet"),
+    )

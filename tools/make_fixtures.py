@@ -291,6 +291,123 @@ def adlib_summary_oracle(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(recs)
 
 
+def training_pipeline_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    """Pure-python twin of plans/training_pipeline.build_training_set over
+    the ref_ops extraction: quality gate -> exact dedup (keep min key per
+    fingerprint) -> MinHash-LSH candidates -> exact-Jaccard verify at 0.8
+    -> drop doc_b -> tokenize -> chunk (512/64). Fully independent of the
+    Spark execution path (only shared semantics modules)."""
+    import hashlib
+    import re as _re
+
+    from marie_ai_spark.operators.tokenize import encode_text
+
+    # 1. extraction (ref_ops)
+    rows = []
+    for row in df.itertuples():
+        r = extract_turn(row.text)
+        rows.append((row.conv_id, int(row.turn_idx), r["clean_text"]))
+
+    # 2. quality gate
+    def toks(t):
+        t = t.strip()
+        return t.split() if t else []
+
+    quality = []
+    for cid, tix, text in rows:
+        w = toks(text)
+        if len(text) < 20 or not w:
+            continue
+        stop = sum(1 for x in w if x.lower() in ("the", "a"))
+        if stop / len(w) > 0.60:
+            continue
+        quality.append((cid, tix, text))
+
+    # 3. exact dedup: keep the smallest (conv_id, turn_idx) per fingerprint
+    def fp(t):
+        return hashlib.md5(
+            _re.sub(r"\s+", " ", t.strip()).lower().encode()
+        ).hexdigest()
+
+    keeper = {}
+    for cid, tix, text in quality:
+        k = fp(text)
+        if k not in keeper or (cid, tix) < keeper[k][:2]:
+            keeper[k] = (cid, tix, text)
+    uniq = sorted(keeper.values())
+
+    # 4. near dedup: minhash bands -> candidates -> exact jaccard >= 0.8
+    def shingles(t):
+        w = toks(t)
+        return (
+            {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+            if len(w) >= 3
+            else set()
+        )
+
+    docs = {f"{cid}\x1f{tix}": shingles(text) for cid, tix, text in uniq}
+    sigs = {}
+    for d, sh in docs.items():
+        if not sh:
+            continue  # no shingles -> no signature row in the Spark plan
+        hs = [
+            min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in sh)
+            for i in range(8)
+        ]
+        sigs[d] = [
+            hashlib.md5(f"{hs[2 * b]}|{hs[2 * b + 1]}".encode()).hexdigest()
+            for b in range(4)
+        ]
+    buckets = {}
+    for d, bands in sigs.items():
+        for b, s in enumerate(bands):
+            buckets.setdefault((b, s), []).append(d)
+    cands = set()
+    for members in buckets.values():
+        members = sorted(members)
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                cands.add((a, b))
+    from decimal import ROUND_HALF_UP, Decimal
+
+    losers = set()
+    for a, b in cands:
+        sa, sb = docs[a], docs[b]
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        if not union or not inter:
+            continue  # no shared shingle -> no row in the verify join
+        j = float(
+            Decimal(repr(inter / union)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+        if j >= 0.8:
+            losers.add(b)
+
+    # 5. tokenize + chunk (512/64)
+    recs = []
+    for cid, tix, text in uniq:
+        if f"{cid}\x1f{tix}" in losers:
+            continue
+        ids = encode_text(text)
+        if not ids:
+            continue
+        stride = 512 - 64
+        last = max(len(ids) - 64 - 1, 0)
+        starts = list(range(0, last + 1, stride))
+        for ci, s in enumerate(starts):
+            recs.append(
+                {
+                    "conv_id": cid,
+                    "turn_idx": tix,
+                    "chunk_idx": ci,
+                    "chunk_len": len(ids[s : s + 512]),
+                }
+            )
+    return pd.DataFrame(recs)
+
+
 def main():
     os.makedirs(os.path.join(ROOT, "oracle"), exist_ok=True)
     tr = transcripts_df()
@@ -334,6 +451,9 @@ def main():
     )
     merge_horizontal_oracle(tr).to_parquet(
         os.path.join(ROOT, "oracle", "merge_horizontal_c100.parquet"), index=False
+    )
+    training_pipeline_oracle(tr).to_parquet(
+        os.path.join(ROOT, "oracle", "training_pipeline_c100.parquet"), index=False
     )
     for f in sorted(os.listdir(os.path.join(ROOT, "oracle"))):
         print("wrote", f)
