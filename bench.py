@@ -106,6 +106,10 @@ def main():
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = dt
         total += dt
+        # each query is timed self-contained: operator-internal caches
+        # (lang-id profile barrier, training-pipeline staging, cluster
+        # labels) must not leak GC pressure into later queries
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

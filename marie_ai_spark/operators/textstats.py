@@ -89,30 +89,25 @@ def lang_id_ngram(documents: DataFrame, top_k: int = 50) -> DataFrame:
     # projection collapse would otherwise inline the regexp_replace
     # normalization into EVERY substring() of the transform (O(len^2)
     # re-normalization per doc); the cached relation is the barrier, and
-    # the frame is consumed twice (profile + classification) anyway
-    # two-step projection: the normalized text materializes BEFORE the
-    # trigram transform (else CollapseProject inlines the regexp into every
-    # substring — O(len^2) re-normalization; the shingle trap)
-    base = documents.select("doc_id", F.col("lang"), norm.alias("t")).filter(
-        F.length("t") >= 3
-    )
-    # one explode -> per-(doc, trigram) counts; BOTH the profile (sum of
-    # per-doc counts) and the per-doc distinct-trigram relation derive from
-    # it, so the trigram transform + explode run once instead of twice and
-    # array_distinct disappears. The cache sits HERE because per_doc has
-    # two consumers; it is the operator's working set (at scale: a staged
-    # table between the train and classify phases).
-    per_doc = (
-        base.withColumn("tri", tri)
-        .select("doc_id", "lang", F.explode("tri").alias("g"))
-        .groupBy("doc_id", "lang", "g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # the frame is consumed twice (profile + classification) anyway.
+    #
+    # NOTE (round 2): deriving both sides from a per-(doc, trigram) count
+    # relation was tried and REVERTED — it replaces a narrow array_distinct
+    # with a ~n_docs*n_distinct_trigrams-group shuffle that map-side
+    # combine cannot compress (measured 3x slower at sf0.1). The profile's
+    # explode->groupBy(lang, g) compresses map-side to ~|vocab| rows; the
+    # classification side's array_distinct is shuffle-free.
+    base = (
+        documents.select("doc_id", F.col("lang"), norm.alias("t"))
+        .filter(F.length("t") >= 3)
         .cache()
     )
+    grams = base.withColumn("tri", tri)
 
     profile = (
-        per_doc.groupBy("lang", "g")
-        .agg(F.sum("cnt").alias("cnt"))
+        grams.select("lang", F.explode("tri").alias("g"))
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn(
             "rank",
             F.row_number().over(
@@ -123,7 +118,9 @@ def lang_id_ngram(documents: DataFrame, top_k: int = 50) -> DataFrame:
         .select(F.col("lang").alias("p_lang"), "g", "rank")
     )
 
-    doc_grams = per_doc.select("doc_id", "lang", "g")
+    doc_grams = grams.select(
+        "doc_id", "lang", F.explode(F.array_distinct("tri")).alias("g")
+    )
     scored = (
         doc_grams.join(F.broadcast(profile), "g")
         .groupBy("doc_id", "lang", "p_lang")
