@@ -188,3 +188,55 @@ def ivf_topk(
     return brute_force_topk(
         candidates.select("vec_id", "embedding"), query_vec, k
     )
+
+
+def ivf_write_index(
+    embeddings: DataFrame, centroids: list[list[float]], path: str
+) -> None:
+    """Materialize the IVF index as a cell-partitioned parquet table — the
+    100 TB layout: probes then touch only the nprobe nearest cells'
+    partitions (directory-level pruning, no full scan). The quantizer
+    itself is metadata; persist it next to the data."""
+    import json
+
+    ivf_assign(embeddings, centroids).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(json.dumps(centroids),)], "centroids_json string"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_quantizer")
+
+
+def ivf_read_quantizer(spark, path: str) -> list[list[float]]:
+    import json
+
+    return json.loads(
+        spark.read.parquet(path + "_quantizer").first()["centroids_json"]
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k over the WRITTEN index: the cell filter is a partition
+    predicate, so the scan reads only the probed cells' files (verify via
+    PartitionFilters in the plan — tested)."""
+    import builtins
+
+    centroids = ivf_read_quantizer(spark, path)
+    dists = [
+        (builtins.sum((a - b) ** 2 for a, b in zip(query_vec, c)), ci)
+        for ci, c in enumerate(centroids)
+    ]
+    probe_cells = [ci for _d, ci in sorted(dists)[:nprobe]]
+    candidates = spark.read.parquet(path).filter(
+        F.col("cell").isin(probe_cells)
+    )
+    return brute_force_topk(
+        candidates.select("vec_id", "embedding"), query_vec, k
+    )

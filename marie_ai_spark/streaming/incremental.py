@@ -73,3 +73,22 @@ def streaming_kind_counts(transcripts_stream: DataFrame, window: str = "1 hour",
             "n_chars",
         )
     )
+
+
+def streaming_dedup(
+    transcripts_stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose content fingerprint was
+    already seen within the watermark horizon — the online counterpart of
+    the batch fingerprint dedup (operators/dedup.exact_duplicates), with
+    BOUNDED state: dropDuplicatesWithinWatermark evicts fingerprints older
+    than the watermark, so state size tracks the ingest window, not the
+    corpus (the requirement for an unbounded 100 TB stream)."""
+    from ..functions import stable_fingerprint
+
+    return (
+        transcripts_stream.withColumn("fp", stable_fingerprint("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .drop("fp")
+    )

@@ -426,3 +426,34 @@ def test_duplicate_clusters_components(spark):
         for r in dedup.duplicate_clusters(pairs).collect()
     }
     assert out == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10, 7: 7, 9: 7}
+
+
+def test_ivf_indexed_matches_brute_force_and_prunes(spark, tmp_path):
+    """Full-probe top-k over the WRITTEN cell-partitioned index must equal
+    brute force, and the probe scan must carry a cell partition filter."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.train_ivf_centroids(emb, n_centroids=4, iters=3)
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_write_index(emb, cents, path)
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+
+    full = similarity.ivf_topk_indexed(spark, path, q, k=5, nprobe=4)
+    # the index contains vec 0 too; drop it to compare against `rest`
+    got = [
+        (r.vec_id, r.cos_sim)
+        for r in full.collect()
+        if r.vec_id != 0
+    ][:4]
+    want = [
+        (r.vec_id, r.cos_sim)
+        for r in similarity.brute_force_topk(rest, q, k=4).collect()
+    ]
+    assert got == want
+
+    plan = (
+        similarity.ivf_topk_indexed(spark, path, q, k=5, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan

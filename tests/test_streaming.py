@@ -131,3 +131,44 @@ def test_stateful_conversation_progress(spark, tmp_path):
     for cid, row in want1.iterrows():
         assert got2[cid][0] == 2 * row.n  # state carried across batches
         assert got2[cid][1] >= 1000
+
+
+def test_streaming_dedup_drops_repeats(spark, tmp_path):
+    """Duplicate payloads inside the watermark horizon are emitted once;
+    distinct payloads all pass (foreachBatch sink, availableNow)."""
+    import pandas as pd
+
+    from marie_ai_spark.sources.transcripts import TRANSCRIPTS_DDL
+    from marie_ai_spark.streaming.incremental import streaming_dedup
+
+    inp = str(tmp_path / "in")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = gen_pandas(20, seed=3)
+    dup = base.head(8).copy()  # re-ingest the same 8 payloads
+    spark.createDataFrame(pd.concat([base, dup])).write.parquet(inp)
+
+    src = spark.readStream.schema(TRANSCRIPTS_DDL).parquet(inp)
+    deduped = streaming_dedup(src)
+
+    def sink(batch_df, _bid):
+        batch_df.write.mode("append").parquet(outdir)
+
+    (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.read.parquet(outdir).toPandas()
+    # every DISTINCT fingerprint appears exactly once
+    import hashlib, re as _re
+
+    def fp(t):
+        return hashlib.md5(_re.sub(r"\s+", " ", t.strip()).lower().encode()).hexdigest()
+
+    want_fps = {fp(t) for t in base.text}
+    got_fps = [fp(t) for t in got.text]
+    assert sorted(set(got_fps)) == sorted(want_fps)
+    assert len(got_fps) == len(set(got_fps))

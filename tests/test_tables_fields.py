@@ -322,3 +322,39 @@ def test_entity_majority_vote_null_semantics(spark):
     assert out[("d1", "name")] == (None, 0)  # all-null keeps null
     assert out[("d2", "total")] == ("7", 1)  # nulls skipped
     assert out[("d3", "total")] == ("a", 1)
+
+
+# ------------------------------------------------- adversarial table parse
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_cell = st.text(
+    alphabet="ab |-:$.",  # includes pipe/dash/colon to stress separators
+    max_size=6,
+).map(lambda s: s.replace("|", " ").strip())  # cells may not contain pipes
+
+_row = st.lists(_cell, min_size=1, max_size=4).map(
+    lambda cs: "| " + " | ".join(cs) + " |"
+)
+_block = st.lists(
+    st.one_of(_row, st.just("|---|---|"), st.just("prose"), st.just("")),
+    max_size=10,
+)
+
+
+@given(_block)
+@settings(max_examples=200, deadline=None)
+def test_parse_md_tables_total_and_consistent(lines):
+    """The parser must never crash, and every record must be exactly
+    header-width with non-None cells."""
+    text = "\n".join(lines)
+    for t in parse_md_tables(text):
+        n = len(t["headers"])
+        assert n >= 1
+        for rec in t["rows"]:
+            assert len(rec) == n
+            assert all(isinstance(c, str) for c in rec)
+        if t["footer"] is not None:
+            assert len(t["footer"]) == n
