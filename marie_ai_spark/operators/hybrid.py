@@ -180,9 +180,17 @@ def hybrid_annotate(
     embedded = _embed_table(distinct_norms)
 
     scored = embedded.crossJoin(F.broadcast(label_df))
-    fuzzy = F.lit(1.0) - F.levenshtein("norm", "norm_label") / F.greatest(
-        F.length("norm"), F.length("norm_label"), F.lit(1)
-    )
+    # length gate: sim = 1 - lev/max <= 1 - |len_a - len_b|/max, so a pair
+    # whose length gap alone puts it under FUZZY_THRESHOLD can never fire
+    # the fuzzy-direct branch — skip the O(len^2) levenshtein for it and
+    # pin its score to 0.0 (output-equivalent: sub-threshold fuzzy values
+    # are discarded wholesale downstream)
+    mx = F.greatest(F.length("norm"), F.length("norm_label"), F.lit(1))
+    gap = F.abs(F.length("norm") - F.length("norm_label"))
+    fuzzy = F.when(
+        gap <= (1.0 - FUZZY_THRESHOLD) * mx,
+        F.lit(1.0) - F.levenshtein("norm", "norm_label") / mx,
+    ).otherwise(F.lit(0.0))
     cos = _dot(F.col("cvec"), F.col("lvec"))
     scored = scored.select("*", fuzzy.alias("fuzzy"), cos.alias("cos"))
 
