@@ -228,6 +228,12 @@ def q_quality_score(spark, sf):
     return textstats.quality_scores(_t(spark, sf, "documents"))
 
 
+def q_winnow(spark, sf):
+    """Rolling-hash winnowing fingerprints (MOSS): k-gram hashes, window
+    minimum with rightmost ties via one integer-keyed window min."""
+    return dedup.winnow_fingerprints(_t(spark, sf, "documents"), k=5, w=4)
+
+
 def q_fingerprint(spark, sf):
     return textstats.fingerprints(_t(spark, sf, "documents"))
 
@@ -575,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
         "q_fingerprint": q_fingerprint,
+        "q_winnow": q_winnow,
         "q_lang_profile": q_lang_profile,
         "q_lang_id": q_lang_id,
         "q_training_pipeline": q_training_pipeline,
@@ -1055,6 +1062,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "q_winnow": """
+            WITH base AS (
+                SELECT doc_id,
+                       lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos,
+                       unnest(l) AS g
+                FROM (
+                    SELECT doc_id,
+                           [t[i:i+4] for i in range(1, len(t) - 3)] AS l
+                    FROM base WHERE length(t) >= 5
+                )
+            ),
+            keyed AS (
+                SELECT doc_id, pos,
+                       ('0x' || substr(md5(g), 1, 4))::BIGINT * 1048576
+                           + (1048575 - pos) AS key,
+                       count(*) OVER (PARTITION BY doc_id) AS n
+                FROM grams
+            ),
+            starts AS (
+                SELECT *, min(key) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                ) AS wkey
+                FROM keyed
+            )
+            SELECT DISTINCT doc_id,
+                   CAST(1048575 - (wkey & 1048575) AS INT) AS pos,
+                   CAST(wkey >> 20 AS BIGINT) AS h
+            FROM starts WHERE pos <= n - 4
         """,
         "q_lang_profile": """
             SELECT lang, count(*) AS n_docs,

@@ -39,6 +39,7 @@ HEADLINE = [
     "q_token_count",
     "q_quality_score",
     "q_fingerprint",
+    "q_winnow",
     "q_lang_profile",
     "q_lang_id",
     "q_embed_topk",

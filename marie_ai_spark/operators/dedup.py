@@ -10,7 +10,7 @@ exactly (engine-native hash functions are not portable).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import shingles_of_tokens, stable_fingerprint, tokens
@@ -192,6 +192,68 @@ def minhash_lsh_candidates(documents: DataFrame, n: int = 3) -> DataFrame:
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+WINNOW_POS_BITS = 20  # supports documents up to 2^20 k-grams
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    hash every char k-gram, slide a window of w hashes, record each
+    window's minimum — rightmost on ties. Guarantees any shared substring
+    of length >= w + k - 1 yields a shared fingerprint, with ~2/(w+1)
+    selection density.
+
+    Fully relational: the k-gram hash explodes once; the rightmost-min rule
+    is one window min over an integer key h * 2^20 + (2^20 - 1 - pos)
+    (smaller hash wins, then LARGER position — no struct ordering needed,
+    so the same expression runs verbatim in the DuckDB oracle).
+
+    Returns distinct (doc_id, pos, h) selected fingerprints.
+    """
+    pos_mod = 1 << WINNOW_POS_BITS
+    # two-step projection: text normalized before the k-gram transform
+    base = documents.select(
+        "doc_id",
+        F.lower(F.regexp_replace("text", r"\s+", " ")).alias("t"),
+    ).filter(F.length("t") >= k)
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - k + 1),
+                lambda i: F.substring(F.col("t"), i, k),
+            )
+        ).alias("pos", "g"),
+    )
+    h = F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("long")
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        (h * pos_mod + (pos_mod - 1 - F.col("pos"))).alias("key"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n"),
+    )
+    wspec = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    starts = keyed.withColumn("wkey", F.min("key").over(wspec)).filter(
+        F.col("pos") <= F.col("n") - w  # only full windows select
+    )
+    return (
+        starts.select(
+            "doc_id",
+            (
+                F.lit(pos_mod - 1)
+                - F.col("wkey").bitwiseAND(F.lit(pos_mod - 1))
+            )
+            .cast("int")
+            .alias("pos"),
+            F.shiftright("wkey", WINNOW_POS_BITS).cast("long").alias("h"),
         )
         .distinct()
     )

@@ -457,3 +457,49 @@ def test_ivf_indexed_matches_brute_force_and_prunes(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_winnow_matches_classic_loop(spark):
+    """The relational integer-key window formulation must equal the
+    textbook winnowing loop (rightmost-min ties included)."""
+    import hashlib
+    import re
+
+    def py_winnow(text, k=5, w=4):
+        t = re.sub(r"\s+", " ", text).lower()
+        if len(t) < k:
+            return set()
+        hs = [
+            int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:4], 16)
+            for i in range(len(t) - k + 1)
+        ]
+        out = set()
+        for s in range(0, len(hs) - w + 1):
+            win = hs[s : s + w]
+            m = min(win)
+            p = s + max(i for i, v in enumerate(win) if v == m)
+            out.add((p, hs[p]))
+        return out
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(60)
+    got = {}
+    for r in dedup.winnow_fingerprints(docs).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.h))
+    for row in docs.collect():
+        assert got.get(row.doc_id, set()) == py_winnow(row.text), row.doc_id
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Docs sharing a substring of length >= w + k - 1 must share at least
+    one fingerprint hash."""
+    shared = "common fragment here"  # 20 chars >= 4 + 5 - 1
+    df = spark.createDataFrame(
+        [(1, "xxxx " + shared + " aaaa"), (2, "yy " + shared + " bbbbbb zz")],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in dedup.winnow_fingerprints(df).collect():
+        fps.setdefault(r.doc_id, set()).add(r.h)
+    assert fps[1] & fps[2]
