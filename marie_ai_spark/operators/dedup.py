@@ -259,20 +259,54 @@ def winnow_fingerprints(
     )
 
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    driver_threshold: int | None = 1_000_000,
+) -> DataFrame:
     """Connected components over near-dup candidate pairs -> duplicate
     clusters: (doc_id, cluster_id) with cluster_id = the component's
     minimum doc_id (the keeper). This is the step that turns pairwise
     near-dup output into group-level dedup decisions.
 
-    Min-label propagation: each iteration every vertex takes the minimum
-    label among itself and its neighbors; converges in O(diameter)
-    iterations (near-dup components are short chains in practice). The
-    driver-side loop is bounded metadata control flow — per iteration one
-    join + one aggregation, labels cached and the previous iteration
-    unpersisted (at 100 TB swap the cache for a checkpointed staging table,
-    or the large-star/small-star variant for adversarial diameters).
+    Adaptive plan (the conversation_text pattern): below
+    `driver_threshold` pairs, the edge list is bounded metadata — a
+    driver-side union-find finishes in milliseconds where the iterative
+    plan pays several scheduler round-trips per propagation step. Above
+    it (the 100 TB regime), min-label propagation runs distributed: each
+    iteration every vertex takes the minimum label among itself and its
+    neighbors, converging in O(diameter) iterations (near-dup components
+    are short chains in practice); labels are cached per iteration with
+    the previous one unpersisted (at cluster scale swap the cache for a
+    checkpointed staging table, or large-star/small-star for adversarial
+    diameters). Both paths produce identical labels.
     """
+    if driver_threshold is not None:
+        head = pairs.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            parent: dict = {}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for r in head:
+                a, b = r[0], r[1]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            rows = sorted((v, find(v)) for v in parent)
+            spark = pairs.sparkSession
+            schema = pairs.schema
+            return spark.createDataFrame(
+                rows,
+                f"doc_id {schema[0].dataType.simpleString()}, "
+                f"cluster_id {schema[1].dataType.simpleString()}",
+            )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )

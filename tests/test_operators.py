@@ -503,3 +503,22 @@ def test_winnow_shared_substring_guarantee(spark):
     for r in dedup.winnow_fingerprints(df).collect():
         fps.setdefault(r.doc_id, set()).add(r.h)
     assert fps[1] & fps[2]
+
+
+def test_duplicate_clusters_paths_agree(spark):
+    """Driver union-find and the distributed min-label loop must label
+    identically."""
+    import random
+
+    rng = random.Random(3)
+    edges = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {
+        r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(df).collect()
+    }
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in dedup.duplicate_clusters(df, driver_threshold=None).collect()
+    }
+    assert fast == dist and len(fast) > 30
