@@ -321,7 +321,7 @@ def duplicate_clusters(
         sym.select(F.col("src").alias("v"))
         .distinct()
         .withColumn("comp", F.col("v"))
-        .cache()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         neigh = (
@@ -330,15 +330,19 @@ def duplicate_clusters(
             .agg(F.min("comp").alias("n_comp"))
         )
         nxt = F.least(F.col("comp"), F.coalesce("n_comp", F.col("comp")))
-        # the convergence flag rides along in the SAME projection, so each
-        # iteration costs exactly one join+agg and one count action
+        # localCheckpoint (not cache): each iteration's plan embeds the
+        # previous one TWICE (via neigh and via the join), so lineage —
+        # and optimizer memory — doubles per iteration without truncation;
+        # a long-diameter component would OOM the driver around iteration
+        # ~15. The checkpoint materializes the labels and cuts the plan.
+        # The convergence flag rides along in the SAME projection, so each
+        # iteration costs exactly one join+agg and one count action.
         new_labels = (
             labels.join(neigh, labels.v == neigh.src, "left")
             .select("v", nxt.alias("comp"), (nxt < F.col("comp")).alias("chg"))
-            .cache()
+            .localCheckpoint()
         )
         changed = new_labels.filter("chg").count()
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
