@@ -238,6 +238,12 @@ def q_fingerprint(spark, sf):
     return textstats.fingerprints(_t(spark, sf, "documents"))
 
 
+def q_repetition(spark, sf):
+    """Gopher/C4-style repetition filters: duplicate-line fraction (row and
+    char mass) + top-bigram share, all relational."""
+    return textstats.repetition_stats(_t(spark, sf, "documents"))
+
+
 def q_lang_profile(spark, sf):
     return textstats.language_profile(_t(spark, sf, "documents"))
 
@@ -582,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_score": q_quality_score,
         "q_fingerprint": q_fingerprint,
         "q_winnow": q_winnow,
+        "q_repetition": q_repetition,
         "q_lang_profile": q_lang_profile,
         "q_lang_id": q_lang_id,
         "q_training_pipeline": q_training_pipeline,
@@ -1096,6 +1103,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1048575 - (wkey & 1048575) AS INT) AS pos,
                    CAST(wkey >> 20 AS BIGINT) AS h
             FROM starts WHERE pos <= n - 4
+        """,
+        "q_repetition": """
+            WITH lines AS (
+                SELECT doc_id, ln FROM (
+                    SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+                    FROM documents
+                ) WHERE trim(ln) <> ''
+            ),
+            per_line AS (
+                SELECT doc_id, ln, count(*) AS c, length(ln) AS len
+                FROM lines GROUP BY doc_id, ln
+            ),
+            line_stats AS (
+                SELECT doc_id,
+                       round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS dup_line_frac,
+                       round(sum((c - 1) * len) * 1.0 / sum(c * len), 6) AS dup_line_char_frac
+                FROM per_line GROUP BY doc_id
+            ),
+            toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+                FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(w) >= 2
+                         THEN [array_to_string(w[i:i+1], ' ')
+                               for i in range(1, len(w))]
+                         ELSE []::VARCHAR[] END) AS bg
+                FROM toks
+            ),
+            per_bg AS (
+                SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+            ),
+            bg_stats AS (
+                SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+                FROM per_bg GROUP BY doc_id
+            )
+            SELECT d.doc_id, dup_line_frac, dup_line_char_frac, top_bigram_frac
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN line_stats USING (doc_id)
+            LEFT JOIN bg_stats USING (doc_id)
         """,
         "q_lang_profile": """
             SELECT lang, count(*) AS n_docs,

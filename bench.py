@@ -40,6 +40,7 @@ HEADLINE = [
     "q_quality_score",
     "q_fingerprint",
     "q_winnow",
+    "q_repetition",
     "q_lang_profile",
     "q_lang_id",
     "q_embed_topk",

@@ -66,6 +66,68 @@ def language_profile(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher/C4-style repetition quality signals, fully relational:
+
+      dup_line_frac       fraction of lines that are repeats of an earlier
+                          identical line (count - distinct) / count
+      dup_line_char_frac  character mass of those repeated lines / total
+      top_bigram_frac     share of the most frequent word bigram among all
+                          bigram occurrences
+
+    High values mark boilerplate/template spam for the training-data
+    filter. One explode per signal family, map-side-combinable aggregates;
+    ratios are emitted as decimals so the oracle hashes exactly.
+    """
+    lines = documents.select(
+        "doc_id", F.explode(F.split("text", "\n")).alias("line")
+    ).filter(F.trim("line") != "")
+    per_line = lines.groupBy("doc_id", "line").agg(
+        F.count(F.lit(1)).alias("c"), F.length("line").alias("len")
+    )
+    # ratios of exact integers: double division is bit-identical across
+    # engines and round(.,6) can never land on a half-way boundary (5e-7
+    # is not binary-representable), so the hash gate is safe without
+    # decimal-division scale gymnastics
+    line_stats = per_line.groupBy("doc_id").agg(
+        F.round(
+            (F.sum("c") - F.count(F.lit(1))) / F.sum("c"), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum((F.col("c") - 1) * F.col("len"))
+            / F.sum(F.col("c") * F.col("len")),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+    toks = documents.select("doc_id", tokens("text").alias("w"))
+    bigrams = toks.filter(F.size("w") >= 2).select(
+        "doc_id", F.explode(shingles_of_tokens_n2("w")).alias("bg")
+    )
+    per_bg = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    bg_stats = per_bg.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
+    )
+    return (
+        documents.select("doc_id")
+        .join(line_stats, "doc_id", "left")
+        .join(bg_stats, "doc_id", "left")
+    )
+
+
+def shingles_of_tokens_n2(wcol):
+    """NON-distinct word bigrams of a token-array column (repetition
+    counting needs every occurrence, unlike the dedup shingles)."""
+    w = F.col(wcol) if isinstance(wcol, str) else wcol
+    return F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def lang_id_ngram(documents: DataFrame, top_k: int = 50) -> DataFrame:
     """Language identification by character-trigram profiles, entirely in
     relational algebra (no UDF, no model):

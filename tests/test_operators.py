@@ -522,3 +522,21 @@ def test_duplicate_clusters_paths_agree(spark):
         for r in dedup.duplicate_clusters(df, driver_threshold=None).collect()
     }
     assert fast == dist and len(fast) > 30
+
+
+def test_repetition_stats_handcrafted(spark):
+    from marie_ai_spark.operators import textstats
+
+    # no trailing newline: trim() strips spaces only (identically in Spark
+    # and DuckDB), so a trailing \n would add an empty token on both sides
+    text = "a b\na b\nc d"  # 3 non-empty lines, 'a b' repeated
+    df = spark.createDataFrame([(1, text), (2, "x y")], "doc_id long, text string")
+    out = {r.doc_id: r for r in textstats.repetition_stats(df).collect()}
+    r = out[1]
+    assert r.dup_line_frac == round(1 / 3, 6)
+    assert r.dup_line_char_frac == round(3 / 9, 6)
+    # tokens a b a b c d -> bigrams 'a b','b a','a b','b c','c d'
+    # -> top 'a b' = 2/5
+    assert r.top_bigram_frac == round(2 / 5, 6)
+    # doc 2: single line, one bigram
+    assert out[2].dup_line_frac == 0.0 and out[2].top_bigram_frac == 1.0
