@@ -168,6 +168,10 @@ def hybrid_annotate(
             F.regexp_replace(F.upper("value"), r"[^\w\s]+", ""), r"\s+", " "
         )
     )
+    # `normed` feeds both the distinct-norm scoring branch and the
+    # join-back; a cache barrier here was MEASURED to not help (the
+    # candidate fan-out is cheap relative to the scoring windows), so the
+    # recompute is kept and no 100 TB cache liability is introduced
     normed = cands.select("*", norm.alias("norm")).filter(F.col("norm") != "")
 
     # The match decision is a pure function of the NORMALIZED text, so score
