@@ -70,3 +70,23 @@ class TableIO:
                 .partitionBy(partition_col)
                 .parquet(table)
             )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+) -> None:
+    """Persist a table bucketed+sorted on the join key: two tables bucketed
+    the same way join with ZERO exchange (co-located shuffle-free join —
+    the pre-shuffle you pay once at write time instead of per query; the
+    100 TB pattern for repeatedly-joined fact/dim tables). Verified by a
+    plan assertion in tests/test_bucketed_join.py."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
