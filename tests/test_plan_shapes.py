@@ -1,0 +1,101 @@
+"""Physical-plan regression gates: the scale properties documented in
+docs/PLANS.md are asserted here so a future edit that silently adds a
+shuffle, drops a broadcast, or breaks filter pushdown fails the suite —
+not just the benchmark."""
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from marie_ai_spark.sources.transcripts import gen_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _count(plan: str, op: str) -> int:
+    return len(re.findall(rf"\b{op}\b", plan))
+
+
+@pytest.fixture(scope="module")
+def tr(spark):
+    return gen_spark(spark, 60, seed=42)
+
+
+def test_extraction_is_shuffle_free(spark, tr):
+    from marie_ai_spark.operators.extract import extract_transcripts
+
+    plan = _plan(extract_transcripts(tr))
+    assert _count(plan, "Exchange") == 0, plan[:600]
+    assert _count(plan, "MapInPandas") >= 1
+
+
+def test_adlib_pages_is_shuffle_free(spark, tr):
+    from marie_ai_spark.operators.layout import serialize_adlib
+
+    plan = _plan(serialize_adlib(tr))
+    assert _count(plan, "Exchange") == 0, plan[:600]
+
+
+def test_region_tables_single_exchange(spark, tr):
+    from marie_ai_spark.operators.tables import region_table_rows
+
+    plan = _plan(region_table_rows(tr))
+    # one (conv,turn)-keyed exchange feeds every window; the final merge
+    # aggregation may re-key once — anything beyond that is a regression
+    assert _count(plan, "Exchange") - _count(plan, "ReusedExchange") <= 2, (
+        plan[:800]
+    )
+
+
+def test_validate_sections_single_exchange(spark, tr):
+    from marie_ai_spark.operators.validator import (
+        validated_boilerplate_sections,
+    )
+
+    plan = _plan(validated_boilerplate_sections(tr))
+    assert _count(plan, "Exchange") - _count(plan, "ReusedExchange") <= 1
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    plan = _plan(j)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).select("l_returnflag", "l_quantity")
+    plan = _plan(li)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or re.search(
+        r"PushedFilters: \[.*l_shipdate", plan
+    ), plan[:600]
+    # column pruning: the scan schema must not include unused wide columns
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "l_comment" not in m.group(1)
+
+
+def test_no_crossjoin_in_neardup_paths(spark):
+    from marie_ai_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (
+        dedup.minhash_lsh_candidates(docs, n=3),
+        dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_shingle_df=100),
+        dedup.simhash_neardup_pairs(docs),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
