@@ -12,7 +12,6 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ..ref_ops.boxes import merge_boxes, merge_boxes_by_iou
 
