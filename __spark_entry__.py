@@ -653,68 +653,6 @@ lines AS (
 )
 """
 
-# GFM table lines -> (table_idx, rn, cells, headers, padded, footer flag,
-# PRIMARY_COLUMN_VARIABLE row groups) — the SQL twin of operators/tables.py
-_TABLE_BODY_CTE = """
-marked AS (
-    SELECT *, (s LIKE '|%') AS is_t,
-           regexp_matches(s, '^\\|[\\s\\-:|]+\\|?$') AS is_sep
-    FROM lines
-),
-tindexed AS (
-    SELECT *, sum(new_t) OVER (
-        PARTITION BY conv_id, turn_idx ORDER BY line_no
-    ) - 1 AS table_idx
-    FROM (
-        SELECT *, CASE WHEN is_t AND NOT coalesce(
-            lag(is_t) OVER (PARTITION BY conv_id, turn_idx ORDER BY line_no),
-            false) THEN 1 ELSE 0 END AS new_t
-        FROM marked
-    )
-),
-tlines AS (
-    SELECT conv_id, turn_idx, table_idx, line_no,
-           list_transform(
-               string_split(regexp_replace(s, '^\\||\\|$', '', 'g'), '|'),
-               x -> trim(x)) AS cells,
-           row_number() OVER (
-               PARTITION BY conv_id, turn_idx, table_idx ORDER BY line_no
-           ) AS rn
-    FROM tindexed WHERE is_t AND NOT is_sep
-),
-wide AS (
-    SELECT *, first(cells) OVER (
-               PARTITION BY conv_id, turn_idx, table_idx ORDER BY rn
-               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
-           ) AS headers,
-           max(rn) OVER (PARTITION BY conv_id, turn_idx, table_idx) AS max_rn
-    FROM tlines
-),
-padded_t AS (
-    SELECT *, len(headers) AS n_cols,
-           [coalesce(cells[i], '') for i in range(1, len(headers) + 1)] AS padded
-    FROM wide WHERE rn >= 2
-),
-flagged AS (
-    SELECT *, (rn = max_rn AND (
-            len(list_filter(padded, x -> regexp_matches(x, '^TOTAL:?$', 'i'))) > 0
-            OR (n_cols >= 2 AND padded[1] = '' AND padded[2] = '')
-        )) AS is_footer
-    FROM padded_t
-),
-body AS (
-    SELECT *, sum(CASE WHEN rb = 1 OR padded[1] <> '' THEN 1 ELSE 0 END)
-              OVER (PARTITION BY conv_id, turn_idx, table_idx ORDER BY rn)
-              - 1 AS row_grp
-    FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY conv_id, turn_idx, table_idx ORDER BY rn
-        ) AS rb
-        FROM flagged WHERE NOT is_footer
-    )
-)
-"""
-
 _SHINGLES_CTE = """
 tok AS (
     SELECT doc_id,
@@ -840,16 +778,16 @@ def oracle_sql() -> dict[str, str]:
             WITH counted AS (
                 SELECT l_orderkey, l_returnflag,
                        count(*) AS votes,
-                       CAST(round(sum(l_quantity::DECIMAL(18,6)), 4)
-                            AS DECIMAL(18,4)) AS total_weight
+                       CAST(sum(l_quantity::DECIMAL(18,6)) * 1000000
+                            AS BIGINT) AS weight_micros
                 FROM lineitem GROUP BY l_orderkey, l_returnflag
             ),
             best AS (
-                SELECT l_orderkey, l_returnflag AS vote_value, votes, total_weight
+                SELECT l_orderkey, l_returnflag AS vote_value, votes, weight_micros
                 FROM (
                     SELECT *, row_number() OVER (
                         PARTITION BY l_orderkey
-                        ORDER BY votes DESC, total_weight DESC, l_returnflag
+                        ORDER BY votes DESC, weight_micros DESC, l_returnflag
                     ) AS rn FROM counted
                 ) WHERE rn = 1
             ),
@@ -880,7 +818,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN votes >= 3 THEN 'voting'
                         WHEN conf_weight > default_conf THEN 'confidence'
                         ELSE 'default' END AS strategy,
-                   votes, total_weight
+                   votes, weight_micros
             FROM best b
             JOIN defaults d ON b.l_orderkey = d.l_orderkey
             JOIN maxconf m ON b.l_orderkey = m.l_orderkey
@@ -904,8 +842,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    min(ts) AS session_start,
                    max(ts) AS session_end,
-                   CAST(round(sum(value::DECIMAL(18,6)), 2) AS DECIMAL(18,2))
-                       AS session_value
+                   CAST(sum(value::DECIMAL(18,6)) * 1000000 AS BIGINT)
+                       AS value_micros
             FROM s GROUP BY user_id, CAST(session_seq AS BIGINT)
         """,
         "q_asof_signup_before_purchase": """
@@ -1247,7 +1185,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
                    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
                    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
-                   CAST(round(sum(value::DECIMAL(18,6)), 2) AS DECIMAL(18,2)) AS total_value
+                   CAST(sum(value::DECIMAL(18,6)) * 1000000 AS BIGINT) AS value_micros
             FROM events GROUP BY user_id
         """,
         "q_percentiles": """
@@ -1376,43 +1314,19 @@ def oracle_sql() -> dict[str, str]:
                    trim(v) AS value
             FROM kvm
         """,
-        "q_region_tables": f"""
-            WITH {_FIXTURE_LINES_CTE},
-            {_TABLE_BODY_CTE},
-            long AS (
-                SELECT conv_id, turn_idx, table_idx, row_grp, rn, headers,
-                       generate_subscripts(padded, 1) - 1 AS col_off,
-                       unnest(padded) AS cell
-                FROM body
-            )
-            SELECT conv_id, turn_idx, table_idx,
-                   CAST(row_grp AS INT) AS row_idx,
-                   CAST(col_off AS INT) AS col_idx,
-                   first(headers[col_off + 1]) AS col_name,
-                   coalesce(string_agg(cell, ' ' ORDER BY rn)
-                            FILTER (WHERE cell <> ''), '') AS value
-            FROM long
-            GROUP BY conv_id, turn_idx, table_idx, row_grp, col_off
+        # Tier-3 fixture-parquet oracles (ref_ops twin, generated by
+        # tools/make_fixtures.py). The previous tier-2 DuckDB re-parse CTE
+        # used version-sensitive SQL surface (list comprehensions,
+        # string_agg FILTER ORDER BY) and hash-failed at the driver while
+        # passing locally; the fixture tier went 8/8 green at the driver.
+        "q_region_tables": """
+            SELECT conv_id, turn_idx, table_idx, row_idx, col_idx,
+                   col_name, value
+            FROM read_parquet('/root/repo/fixtures/oracle/region_tables_c100.parquet')
         """,
-        "q_region_table_footers": f"""
-            WITH {_FIXTURE_LINES_CTE},
-            {_TABLE_BODY_CTE},
-            foot AS (
-                SELECT conv_id, turn_idx, table_idx, headers, padded
-                FROM flagged WHERE is_footer
-            ),
-            fl AS (
-                SELECT conv_id, turn_idx, table_idx,
-                       generate_subscripts(padded, 1) - 1 AS col_idx,
-                       unnest(padded) AS value,
-                       headers
-                FROM foot
-            )
-            SELECT conv_id, turn_idx, table_idx,
-                   CAST(col_idx AS INT) AS col_idx,
-                   headers[col_idx + 1] AS col_name, value
-            FROM fl
-            WHERE value <> '' AND NOT regexp_matches(value, '^TOTAL:?$', 'i')
+        "q_region_table_footers": """
+            SELECT conv_id, turn_idx, table_idx, col_idx, col_name, value
+            FROM read_parquet('/root/repo/fixtures/oracle/region_table_footers_c100.parquet')
         """,
         "q_region_fields": f"""
             WITH {_FIXTURE_LINES_CTE},

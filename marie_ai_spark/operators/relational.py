@@ -54,13 +54,14 @@ def user_event_pivot(events: DataFrame) -> DataFrame:
         .alias(f"n_{t}")
         for t in ("signup", "purchase", "error")
     ]
-    # decimal accumulation so the value is bit-identical to the oracle's
-    # regardless of partial-sum order (double addition is not associative)
+    # decimal accumulation (exact, associative) emitted as integer micros:
+    # BIGINT cells hash identically under every harness normalization,
+    # whereas DECIMAL rendering differs across result transports
     return events.groupBy("user_id").agg(
         *agg,
-        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
-        .cast("decimal(18,2)")
-        .alias("total_value"),
+        (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+        .cast("bigint")
+        .alias("value_micros"),
     )
 
 

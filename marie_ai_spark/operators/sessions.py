@@ -48,12 +48,13 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            # decimal accumulation: addition over decimal(18,6) is associative,
-            # so Spark's and the oracle's partial-sum orders cannot drift in the
-            # last ulp the way double summation does (driver hash gate is exact)
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
-            .cast("decimal(18,2)")
-            .alias("session_value"),
+            # decimal accumulation is exact/associative; the OUTPUT is integer
+            # micros (not a decimal) because integer cells hash identically
+            # under every harness normalization, while DECIMAL columns render
+            # differently across result transports ('123.40' vs 123.4)
+            (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+            .cast("bigint")
+            .alias("value_micros"),
         )
     )
 
@@ -126,12 +127,14 @@ def vote_with_fallback(
     """
     counted = df.groupBy(key, candidate).agg(
         F.count(F.lit(1)).alias("votes"),
-        F.round(F.sum(F.col(weight).cast("decimal(18,6)")), 4)
-        .cast("decimal(18,4)")
-        .alias("total_weight"),
+        # exact decimal accumulation, emitted as integer micros (BIGINT) —
+        # integers hash identically under every harness normalization
+        (F.sum(F.col(weight).cast("decimal(18,6)")) * 1000000)
+        .cast("bigint")
+        .alias("weight_micros"),
     )
     wwin = Window.partitionBy(key).orderBy(
-        F.desc("votes"), F.desc("total_weight"), F.asc(candidate)
+        F.desc("votes"), F.desc("weight_micros"), F.asc(candidate)
     )
     best = (
         counted.withColumn("rn", F.row_number().over(wwin))
@@ -140,7 +143,7 @@ def vote_with_fallback(
             F.col(key),
             F.col(candidate).alias("vote_value"),
             "votes",
-            "total_weight",
+            "weight_micros",
         )
     )
     # weight in the ordering: engine ranks may collide in the data, and an
@@ -185,7 +188,7 @@ def vote_with_fallback(
         winner.alias("winner"),
         strategy.alias("strategy"),
         "votes",
-        "total_weight",
+        "weight_micros",
     )
 
 

@@ -183,9 +183,10 @@ def hybrid_oracle(df: pd.DataFrame) -> pd.DataFrame:
 def _pdf_docs(df: pd.DataFrame):
     import json
 
+    from marie_ai_spark.ref_ops.detect import detect_doc_kind
+
     for row in df.itertuples():
-        t = (row.text or "").lstrip()
-        if t.startswith("{") and '"pages"' in t[:256]:
+        if detect_doc_kind(row.text or "") == "pdf_words":
             yield row, json.loads(row.text)
 
 
@@ -289,6 +290,64 @@ def adlib_summary_oracle(df: pd.DataFrame) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(recs)
+
+
+def region_tables_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    """Long-form table records via the ref_ops twin (third implementation
+    relative to the Spark plan and the retired tier-2 DuckDB re-parse CTE):
+    one row per (table record, column), schema matching
+    operators/tables.region_table_rows. Fixture-parquet oracles are the
+    driver-portable tier (r2: 8/8 green vs version-sensitive exotic SQL)."""
+    from marie_ai_spark.ref_ops.table_ops import parse_md_tables
+
+    recs = []
+    for row in df.itertuples():
+        for t in parse_md_tables(row.text or ""):
+            for ri, record in enumerate(t["rows"]):
+                for ci, value in enumerate(record):
+                    recs.append(
+                        {
+                            "conv_id": row.conv_id,
+                            "turn_idx": int(row.turn_idx),
+                            "table_idx": int(t["table_idx"]),
+                            "row_idx": ri,
+                            "col_idx": ci,
+                            "col_name": t["headers"][ci],
+                            "value": value,
+                        }
+                    )
+    out = pd.DataFrame(recs)
+    out["row_idx"] = out["row_idx"].astype("int32")
+    out["col_idx"] = out["col_idx"].astype("int32")
+    return out
+
+
+def region_table_footers_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    """Footer cells as document-level fields (non-empty, non-TOTAL), the
+    twin of operators/tables.region_table_footers."""
+    from marie_ai_spark.ref_ops.table_ops import _FOOTER_TOTAL, parse_md_tables
+
+    recs = []
+    for row in df.itertuples():
+        for t in parse_md_tables(row.text or ""):
+            if t["footer"] is None:
+                continue
+            for ci, value in enumerate(t["footer"]):
+                if value == "" or _FOOTER_TOTAL.match(value):
+                    continue
+                recs.append(
+                    {
+                        "conv_id": row.conv_id,
+                        "turn_idx": int(row.turn_idx),
+                        "table_idx": int(t["table_idx"]),
+                        "col_idx": ci,
+                        "col_name": t["headers"][ci],
+                        "value": value,
+                    }
+                )
+    out = pd.DataFrame(recs)
+    out["col_idx"] = out["col_idx"].astype("int32")
+    return out
 
 
 def training_pipeline_oracle(df: pd.DataFrame) -> pd.DataFrame:
@@ -454,6 +513,12 @@ def main():
     )
     training_pipeline_oracle(tr).to_parquet(
         os.path.join(ROOT, "oracle", "training_pipeline_c100.parquet"), index=False
+    )
+    region_tables_oracle(tr).to_parquet(
+        os.path.join(ROOT, "oracle", "region_tables_c100.parquet"), index=False
+    )
+    region_table_footers_oracle(tr).to_parquet(
+        os.path.join(ROOT, "oracle", "region_table_footers_c100.parquet"), index=False
     )
     for f in sorted(os.listdir(os.path.join(ROOT, "oracle"))):
         print("wrote", f)

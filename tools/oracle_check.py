@@ -42,10 +42,48 @@ def norm_cell(v):
     return str(v)
 
 
-def value_hash(rows, cols):
+def norm_cell_hostile(v):
+    """Hostile-harness normalization: the way a harness that round-trips
+    results through pandas/str() would render cells — decimals collapse to
+    floats, floats go through str(), datetimes through isoformat(). Queries
+    must hash-match under BOTH normalizations (r2 lesson: the driver's
+    hasher is NOT exact-repr; every DECIMAL-typed output column failed its
+    gate while all double/bigint/timestamp columns passed)."""
+    import datetime
+    import decimal
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    return str(v)
+
+
+def type_profile(rows, cols):
+    """Per-column set of python cell types (None excluded). The driver
+    hashes Spark and DuckDB results with ONE normalizer, so a column that
+    arrives as Decimal on one side and float on the other renders
+    differently even when values are equal — type parity is the invariant
+    that keeps the gate portable across harness hashers."""
+    prof = {c: set() for c in cols}
+    for r in rows:
+        for c, v in zip(cols, r):
+            if v is not None:
+                prof[c].add(type(v).__name__)
+    return prof
+
+
+def value_hash(rows, cols, norm=norm_cell):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
-        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+        "\x1f".join(norm(r[i]) for i in order) for r in rows
     )
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
@@ -95,8 +133,21 @@ def main():
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
         else:
-            sh = value_hash([tuple(r) for r in srows], scols)
+            stup = [tuple(r) for r in srows]
+            sh = value_hash(stup, scols)
             dh = value_hash(drows, dcols)
+            sp, dp = type_profile(stup, scols), type_profile(drows, dcols)
+            if sp != dp:
+                diff = {
+                    c: (sorted(sp[c]), sorted(dp[c]))
+                    for c in sp
+                    if sp[c] != dp[c]
+                }
+                problems.append(f"type divergence {diff}")
+            hh_s = value_hash(stup, scols, norm_cell_hostile)
+            hh_d = value_hash(drows, dcols, norm_cell_hostile)
+            if sh == dh and hh_s != hh_d:
+                problems.append("hostile-normalization hash mismatch")
             if sh != dh:
                 problems.append("value hash mismatch")
                 # show a diff sample
