@@ -502,6 +502,27 @@ def q_region_table_footers(spark, sf):
     return region_table_footers(tr)
 
 
+def q_section_tables(spark, sf):
+    """E6 span-range table collection (process_tables,
+    match_section_extract_visitor.py:933): tables strictly inside validated
+    section spans, attributed to their section; out-of-section tables
+    excluded. Dedicated deterministic corpus (tables + section markers
+    co-occur there; the main corpus keeps them in disjoint payload kinds)."""
+    from marie_ai_spark.operators.tables import section_tables
+    from marie_ai_spark.sources.transcripts import (
+        SECTION_START,
+        SECTION_STOP,
+        gen_section_docs_spark,
+    )
+
+    n_docs = 800 if "0.1" in sf else 200
+    return section_tables(
+        gen_section_docs_spark(spark, n_docs, seed=42),
+        f"^{SECTION_START}$",
+        f"^{SECTION_STOP}$",
+    )
+
+
 def q_region_fields(spark, sf):
     """E6 field route: selector-matched named fields from KV regions with
     first-match-wins dedup and MONEY/ALPHA/ALPHA_NUMERIC transforms."""
@@ -615,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_markdown_kv": q_markdown_kv,
         "q_region_tables": q_region_tables,
         "q_region_table_footers": q_region_table_footers,
+        "q_section_tables": q_section_tables,
         "q_region_fields": q_region_fields,
         "q_entity_vote": q_entity_vote,
         "q_multiline_match": q_multiline_match,
@@ -1327,6 +1349,11 @@ def oracle_sql() -> dict[str, str]:
         "q_region_table_footers": """
             SELECT conv_id, turn_idx, table_idx, col_idx, col_name, value
             FROM read_parquet('/root/repo/fixtures/oracle/region_table_footers_c100.parquet')
+        """,
+        "q_section_tables": """
+            SELECT conv_id, turn_idx, section_idx, table_idx, row_idx,
+                   col_idx, col_name, value
+            FROM read_parquet('/root/repo/fixtures/oracle/section_tables_d200.parquet')
         """,
         "q_region_fields": f"""
             WITH {_FIXTURE_LINES_CTE},

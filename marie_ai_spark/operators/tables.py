@@ -31,10 +31,10 @@ PRIMARY_COLUMN_FIXED = "PRIMARY_COLUMN_FIXED"
 COMPOSITE_FIXED = "COMPOSITE_FIXED"
 
 
-def _table_lines(transcripts: DataFrame) -> DataFrame:
-    """Explode turn text into table lines tagged with table_idx and a
-    header/body role. Cheap pre-filter: only turns containing a '|' line
-    survive the scan (predicate pushdown keeps this scan-shaped)."""
+def _marked_table_lines(transcripts: DataFrame) -> DataFrame:
+    """All pipe lines (separators included) tagged with their 0-based
+    table_idx per (conv, turn). Cheap pre-filter: only turns containing a
+    '|' line survive the scan (predicate pushdown keeps this scan-shaped)."""
     lines = (
         transcripts.filter(F.col("text").rlike(r"(?m)^\s*\|"))
         .select(
@@ -48,7 +48,7 @@ def _table_lines(transcripts: DataFrame) -> DataFrame:
     marked = lines.withColumn(
         "is_t", F.col("s").startswith("|")
     ).withColumn("is_sep", F.col("s").rlike(r"^\|[\s\-:|]+\|?$"))
-    with_idx = (
+    return (
         marked.withColumn(
             "new_t",
             (
@@ -57,8 +57,26 @@ def _table_lines(transcripts: DataFrame) -> DataFrame:
             ).cast("int"),
         )
         .withColumn("table_idx", F.sum("new_t").over(w) - 1)
-        .filter(F.col("is_t") & ~F.col("is_sep"))
+        .filter(F.col("is_t"))
     )
+
+
+def table_extents(transcripts: DataFrame) -> DataFrame:
+    """Per-table line extent (first/last pipe line of the contiguous run,
+    separator included) — the containment key for span-range collection."""
+    return (
+        _marked_table_lines(transcripts)
+        .groupBy("conv_id", "turn_idx", "table_idx")
+        .agg(
+            F.min("line_no").alias("first_line"),
+            F.max("line_no").alias("last_line"),
+        )
+    )
+
+
+def _table_lines(transcripts: DataFrame) -> DataFrame:
+    """Content table lines (header + body; separators dropped) with cells."""
+    with_idx = _marked_table_lines(transcripts).filter(~F.col("is_sep"))
     wt = Window.partitionBy("conv_id", "turn_idx", "table_idx").orderBy("line_no")
     cells = F.transform(
         F.split(F.regexp_replace(F.col("s"), r"^\||\|$", ""), r"\|"),
@@ -211,6 +229,69 @@ def region_tables_struct(
         "headers",
         F.coalesce("rows", F.array().cast("array<array<string>>")).alias("rows"),
         "footer",
+    )
+
+
+def section_tables(
+    transcripts: DataFrame,
+    start_expr: str,
+    stop_expr: str,
+    strategy: str = PRIMARY_COLUMN_VARIABLE,
+    fixed_rows: int = 1,
+) -> DataFrame:
+    """E6 span-range table collection (process_tables,
+    match_section_extract_visitor.py:933-1002): tables are collected ONLY
+    when their line extent lies strictly inside a validated section span
+    (`table_line_id > start_line and table_max_line_id < end_line`, :998)
+    and are attributed to that section. Tables outside every matched
+    section are excluded — the whole-document scan of region_table_rows is
+    the unscoped fallback, this is the reference-faithful scoped route.
+
+    Sections come from the candidate-validator repair
+    (operators/validator.py): every START closes at the next marker or at
+    end-of-context, so dangling sections still collect their tables.
+
+    Scale shape: three scans of the (pipe/marker-prefiltered) input, each
+    shuffling on (conv_id, turn_idx) supersets; the section and extent
+    sides are per-turn metadata (a few rows per turn), so both joins are
+    skew-safe equi-joins with tiny right sides relative to the cell rows.
+
+    Output: (conv_id, turn_idx, section_idx, table_idx, row_idx, col_idx,
+    col_name, value).
+    """
+    from marie_ai_spark.operators.validator import (
+        cutpoint_markers,
+        validate_sections,
+    )
+
+    secs = validate_sections(cutpoint_markers(transcripts, start_expr, stop_expr))
+    wsec = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        "start_line", "stop_line"
+    )
+    secs = secs.withColumn("section_idx", F.row_number().over(wsec) - 1)
+    contained = secs.join(table_extents(transcripts), ["conv_id", "turn_idx"]).filter(
+        (F.col("first_line") > F.col("start_line"))
+        & (F.col("last_line") < F.col("stop_line"))
+    )
+    rows = region_table_rows(transcripts, strategy, fixed_rows)
+    return (
+        contained.select(
+            "conv_id",
+            "turn_idx",
+            F.col("section_idx").cast("int").alias("section_idx"),
+            "table_idx",
+        )
+        .join(rows, ["conv_id", "turn_idx", "table_idx"])
+        .select(
+            "conv_id",
+            "turn_idx",
+            "section_idx",
+            "table_idx",
+            "row_idx",
+            "col_idx",
+            "col_name",
+            "value",
+        )
     )
 
 

@@ -53,12 +53,17 @@ def parse_md_tables(
 ) -> list[dict]:
     """Parse GFM tables out of a markdown payload.
 
-    Returns one dict per table: {table_idx, headers, rows, footer} where
-    rows are post-strategy records (list of list[str], cell-wise merged for
-    VARIABLE) and footer is the footer line's cells or None.
+    Returns one dict per table: {table_idx, headers, rows, footer,
+    first_line, last_line} where rows are post-strategy records (list of
+    list[str], cell-wise merged for VARIABLE), footer is the footer line's
+    cells or None, and first_line/last_line are the 0-based line extent of
+    the table's contiguous pipe-line run (separator included) — the span
+    containment key of the section-scoped route (process_tables,
+    match_section_extract_visitor.py:996-1001).
     """
     tables: list[dict] = []
     cur: list[list[str]] | None = None  # raw cell lines of the open table
+    run: list[int] = []  # line numbers of the open run (incl. separators)
 
     def close(cur):
         if cur is None or len(cur) == 0:
@@ -75,12 +80,15 @@ def parse_md_tables(
                 "headers": headers,
                 "rows": _group_rows(body, len(headers), strategy, fixed_rows),
                 "footer": footer,
+                "first_line": run[0],
+                "last_line": run[-1],
             }
         )
 
-    for raw in (text or "").split("\n"):
+    for line_no, raw in enumerate((text or "").split("\n")):
         s = raw.strip()
         if s.startswith("|"):
+            run.append(line_no)
             if _SEP.match(s):
                 continue  # separator row: dropped, table stays open
             if cur is None:
@@ -89,8 +97,54 @@ def parse_md_tables(
         else:
             close(cur)
             cur = None
+            run = []
     close(cur)
     return tables
+
+
+def section_tables_py(
+    text: str,
+    start_re: str,
+    stop_re: str,
+    strategy: str = PRIMARY_COLUMN_VARIABLE,
+    fixed_rows: int = 1,
+) -> list[dict]:
+    """Span-range table collection twin (process_tables,
+    match_section_extract_visitor.py:933-1002): validated sections from
+    START/STOP markers (the candidate-validator DFA), then only tables
+    whose line extent lies STRICTLY inside a section span
+    (first_line > start AND last_line < stop, :998) are collected and
+    attributed to that section. Returns long-form records:
+    {section_idx, table_idx, row_idx, col_idx, col_name, value}."""
+    from marie_ai_spark.ref_ops.validator import dfa_sections
+
+    lines = (text or "").split("\n")
+    start_rx, stop_rx = re.compile(start_re), re.compile(stop_re)
+    markers = []
+    for i, line in enumerate(lines):
+        if start_rx.search(line):
+            markers.append((i, "START"))
+        elif stop_rx.search(line):
+            markers.append((i, "STOP"))
+    secs = sorted(dfa_sections(markers, len(lines)))
+    tables = parse_md_tables(text, strategy, fixed_rows)
+    out = []
+    for si, (s0, s1, _tr) in enumerate(secs):
+        for t in tables:
+            if t["first_line"] > s0 and t["last_line"] < s1:
+                for ri, record in enumerate(t["rows"]):
+                    for ci, value in enumerate(record):
+                        out.append(
+                            {
+                                "section_idx": si,
+                                "table_idx": t["table_idx"],
+                                "row_idx": ri,
+                                "col_idx": ci,
+                                "col_name": t["headers"][ci],
+                                "value": value,
+                            }
+                        )
+    return out
 
 
 def _pad(cells: list[str], n: int) -> list[str]:

@@ -287,6 +287,79 @@ TRANSCRIPTS_DDL = (
 )
 
 
+# ----------------------------------------------------- section-table corpus
+# Dedicated deterministic corpus for the span-range table collection
+# operator (E6 process_tables,
+# marie/extract/engine/match_section_extract_visitor.py:933): documents mix
+# GFM tables OUTSIDE any matched section (must be excluded) with tables
+# INSIDE marker-delimited sections (attributed to their section), including
+# dangling-BEGIN sections that run to end-of-context. The main transcript
+# corpus keeps tables and section markers in disjoint payload kinds, so
+# this operator gets its own input (same pattern as the media queries).
+
+SECTION_START = "BEGIN DETAILS"
+SECTION_STOP = "END DETAILS"
+
+
+def _gfm_table(rng: random.Random) -> list[str]:
+    hdr = [rng.choice(VOCAB) for _ in range(3)]
+    out = ["| " + " | ".join(hdr) + " |", "|" + "---|" * 3]
+    for _ in range(rng.randint(1, 3)):
+        out.append("| " + " | ".join(rng.choice(VOCAB) for _ in range(3)) + " |")
+        while rng.random() < 0.25:  # continuation rows (empty primary cell)
+            out.append(
+                "|  | " + " | ".join(rng.choice(VOCAB) for _ in range(2)) + " |"
+            )
+    if rng.random() < 0.3:  # flexible-TOTAL footer row
+        out.append(f"| TOTAL: |  | {rng.randint(10, 9999)}.{rng.randint(10, 99)} |")
+    return out
+
+
+def _section_doc_row(i: int, seed: int) -> dict:
+    """One fully deterministic section-doc row (pure function of (i, seed),
+    so the Spark path and the pandas/fixture path generate identical rows)."""
+    rng = random.Random(_seed("secdoc", seed, i))
+    lines = [_sentence(rng) for _ in range(rng.randint(1, 3))]
+    if rng.random() < 0.5:  # out-of-section table: must be excluded
+        lines += _gfm_table(rng)
+        lines.append(_sentence(rng))
+    for _ in range(rng.randint(1, 2)):
+        lines.append(SECTION_START)
+        lines.append(_sentence(rng, 3, 6))
+        for _ in range(rng.randint(0, 2)):  # in-section tables
+            lines += _gfm_table(rng)
+            lines.append(_sentence(rng, 3, 6))
+        if rng.random() < 0.9:
+            lines.append(SECTION_STOP)
+            lines.append(_sentence(rng))
+        else:
+            break  # dangling BEGIN: section runs to end-of-context
+    if rng.random() < 0.3:  # trailing table (outside iff section closed)
+        lines += _gfm_table(rng)
+    return {"conv_id": f"secdoc-{i:06d}", "turn_idx": 0, "text": "\n".join(lines)}
+
+
+def gen_section_docs_pandas(n_docs: int, seed: int = 42) -> pd.DataFrame:
+    df = pd.DataFrame([_section_doc_row(i, seed) for i in range(n_docs)])
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df
+
+
+def gen_section_docs_spark(spark, n_docs: int, seed: int = 42, partitions=None):
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_docs, 1, parts).withColumnRenamed("id", "doc_index")
+
+    def fill(batches):
+        for pdf in batches:
+            rows = [_section_doc_row(int(i), seed) for i in pdf["doc_index"]]
+            if rows:
+                out = pd.DataFrame(rows)
+                out["turn_idx"] = out["turn_idx"].astype("int32")
+                yield out
+
+    return base.mapInPandas(fill, schema="conv_id string, turn_idx int, text string")
+
+
 def gen_spark(spark, n_convs: int, seed: int = 42, partitions: int | None = None):
     """Distributed generation: conversation ids fan out across executors, each
     Arrow batch fills its turns locally. No shuffle, no driver materialization.

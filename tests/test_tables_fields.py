@@ -358,3 +358,96 @@ def test_parse_md_tables_total_and_consistent(lines):
             assert all(isinstance(c, str) for c in rec)
         if t["footer"] is not None:
             assert len(t["footer"]) == n
+
+
+# ------------------------------------------------- E6 span-range collection
+
+SEC_MD = "\n".join([
+    "intro line",
+    "| h1 | h2 |",        # table 0: OUTSIDE any section -> excluded
+    "|---|---|",
+    "| a | b |",
+    "BEGIN DETAILS",       # section 0
+    "prose",
+    "| h3 | h4 |",        # table 1: inside section 0
+    "|---|---|",
+    "| c | d |",
+    "| e | f |",
+    "prose",
+    "END DETAILS",
+    "| h5 | h6 |",        # table 2: after the close -> excluded
+    "|---|---|",
+    "| g | h |",
+    "BEGIN DETAILS",       # section 1: dangling, runs to end-of-context
+    "| h7 | h8 |",        # table 3: inside section 1
+    "|---|---|",
+    "| i | j |",
+])
+
+
+def test_section_tables_strict_containment(spark):
+    from marie_ai_spark.operators.tables import section_tables
+
+    sdf = spark.createDataFrame(
+        [("c1", 0, SEC_MD)], "conv_id string, turn_idx int, text string"
+    )
+    out = section_tables(
+        sdf, "^BEGIN DETAILS$", "^END DETAILS$"
+    ).collect()
+    got = {(r.section_idx, r.table_idx, r.row_idx, r.col_idx, r.value)
+           for r in out}
+    # only tables 1 (section 0) and 3 (dangling section 1) are collected
+    assert {t for _, t, *_ in got} == {1, 3}
+    assert got == {
+        (0, 1, 0, 0, "c"), (0, 1, 0, 1, "d"),
+        (0, 1, 1, 0, "e"), (0, 1, 1, 1, "f"),
+        (1, 3, 0, 0, "i"), (1, 3, 0, 1, "j"),
+    }
+    # twin agrees cell-for-cell
+    from marie_ai_spark.ref_ops.table_ops import section_tables_py
+
+    twin = {
+        (r["section_idx"], r["table_idx"], r["row_idx"], r["col_idx"], r["value"])
+        for r in section_tables_py(SEC_MD, "^BEGIN DETAILS$", "^END DETAILS$")
+    }
+    assert twin == got
+
+
+def test_section_tables_spark_matches_twin_corpus(spark):
+    """Full-corpus equality on the dedicated section-doc generator (the
+    q_section_tables input): Spark plan == ref_ops twin, cell for cell."""
+    from marie_ai_spark.operators.tables import section_tables
+    from marie_ai_spark.ref_ops.table_ops import section_tables_py
+    from marie_ai_spark.sources.transcripts import (
+        SECTION_START,
+        SECTION_STOP,
+        gen_section_docs_pandas,
+        gen_section_docs_spark,
+    )
+
+    n = 60
+    start_re, stop_re = f"^{SECTION_START}$", f"^{SECTION_STOP}$"
+    got = {
+        (r.conv_id, r.section_idx, r.table_idx, r.row_idx, r.col_idx,
+         r.col_name, r.value)
+        for r in section_tables(
+            gen_section_docs_spark(spark, n), start_re, stop_re
+        ).collect()
+    }
+    want = set()
+    docs = gen_section_docs_pandas(n)
+    for row in docs.itertuples():
+        for rec in section_tables_py(row.text, start_re, stop_re):
+            want.add(
+                (row.conv_id, rec["section_idx"], rec["table_idx"],
+                 rec["row_idx"], rec["col_idx"], rec["col_name"], rec["value"])
+            )
+    assert got == want
+    # the generator must exercise the exclusion path: some docs have tables
+    # but no in-section rows
+    import re as _re
+
+    with_tables = {r.conv_id for r in docs.itertuples()
+                   if _re.search(r"(?m)^\|", r.text)}
+    with_rows = {c for c, *_ in want}
+    assert with_tables - with_rows, "no out-of-section table in the corpus"

@@ -350,6 +350,41 @@ def region_table_footers_oracle(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def section_tables_oracle(n_docs: int = 200, seed: int = 42) -> pd.DataFrame:
+    """E6 span-range table collection over the dedicated section-doc corpus
+    (sources/transcripts.gen_section_docs_pandas): DFA-validated sections +
+    strict line-extent containment, via the ref_ops twin."""
+    from marie_ai_spark.ref_ops.table_ops import section_tables_py
+    from marie_ai_spark.sources.transcripts import (
+        SECTION_START,
+        SECTION_STOP,
+        gen_section_docs_pandas,
+    )
+
+    docs = gen_section_docs_pandas(n_docs, seed)
+    recs = []
+    for row in docs.itertuples():
+        for rec in section_tables_py(
+            row.text, f"^{SECTION_START}$", f"^{SECTION_STOP}$"
+        ):
+            recs.append(
+                {
+                    "conv_id": row.conv_id,
+                    "turn_idx": int(row.turn_idx),
+                    "section_idx": rec["section_idx"],
+                    "table_idx": rec["table_idx"],
+                    "row_idx": rec["row_idx"],
+                    "col_idx": rec["col_idx"],
+                    "col_name": rec["col_name"],
+                    "value": rec["value"],
+                }
+            )
+    out = pd.DataFrame(recs)
+    for c in ("section_idx", "row_idx", "col_idx"):
+        out[c] = out[c].astype("int32")
+    return out
+
+
 def training_pipeline_oracle(df: pd.DataFrame) -> pd.DataFrame:
     """Pure-python twin of plans/training_pipeline.build_training_set over
     the ref_ops extraction: quality gate -> exact dedup (keep min key per
@@ -519,6 +554,9 @@ def main():
     )
     region_table_footers_oracle(tr).to_parquet(
         os.path.join(ROOT, "oracle", "region_table_footers_c100.parquet"), index=False
+    )
+    section_tables_oracle(200, 42).to_parquet(
+        os.path.join(ROOT, "oracle", "section_tables_d200.parquet"), index=False
     )
     for f in sorted(os.listdir(os.path.join(ROOT, "oracle"))):
         print("wrote", f)
