@@ -344,6 +344,16 @@ def q_classify_vote(spark, sf):
     )
 
 
+def q_classify_vote_diff(spark, sf):
+    """A5 BEST_WITH_DIFF tie-break (marie/pipe/voting.py:122-133): on a
+    vote tie, the best individual score wins only when it beats the
+    runner-up by more than max_diff; otherwise the vote abstains."""
+    return annotate.classify_vote(
+        _t(spark, sf, "events"), "user_id", "event_type", "value",
+        policy="majority", tie_break="best_with_diff", max_diff=10.0,
+    )
+
+
 def q_embed_neardup(spark, sf):
     """Near-dup pairs blocked on the label column (the equality blocking
     key standing in for an LSH bucket at this data shape)."""
@@ -627,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_annotate_regex": q_annotate_regex,
         "q_fuzzy_match": q_fuzzy_match,
         "q_classify_vote": q_classify_vote,
+        "q_classify_vote_diff": q_classify_vote_diff,
         "q_embed_neardup": q_embed_neardup,
         "q_extract_transcripts": q_extract_transcripts,
         "q_extract_grid": q_extract_grid,
@@ -1303,6 +1314,58 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 GROUP BY user_id, event_type
             ) WHERE rn = 1
+        """,
+        "q_classify_vote_diff": """
+            WITH agg AS (
+                SELECT user_id, event_type,
+                       count(*) AS votes,
+                       round(max(value), 6) AS max_score,
+                       round(sum(value), 6) AS sum_score
+                FROM events GROUP BY user_id, event_type
+            ),
+            a2 AS (
+                SELECT *, max(votes) OVER (PARTITION BY user_id) AS mx
+                FROM agg
+            ),
+            a3 AS (
+                SELECT *,
+                       sum(CASE WHEN votes = mx THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id) AS ties,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY votes DESC, sum_score DESC, event_type
+                       ) AS rn
+                FROM a2
+            ),
+            elig AS (
+                SELECT e.user_id, e.event_type, e.value, a.ties
+                FROM events e
+                JOIN a3 a ON e.user_id = a.user_id
+                         AND e.event_type = a.event_type
+                         AND a.votes = a.mx
+            ),
+            rk AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY value DESC, event_type
+                ) AS rnk
+                FROM elig
+            ),
+            t2 AS (
+                SELECT user_id,
+                       max(CASE WHEN rnk = 1 THEN value END) AS s1,
+                       max(CASE WHEN rnk = 1 THEN event_type END) AS l1,
+                       max(CASE WHEN rnk = 2 THEN value END) AS s2,
+                       max(ties) AS ties
+                FROM rk WHERE rnk <= 2 GROUP BY user_id
+            )
+            SELECT a3.user_id,
+                   CASE WHEN t2.ties >= 2 THEN
+                        CASE WHEN t2.s2 IS NULL OR t2.s1 - t2.s2 > 10.0
+                             THEN t2.l1 END
+                        ELSE a3.event_type END AS winner,
+                   a3.votes, a3.max_score, a3.sum_score
+            FROM a3 JOIN t2 ON a3.user_id = t2.user_id
+            WHERE a3.rn = 1
         """,
         "q_embed_neardup": """
             WITH e AS (

@@ -60,13 +60,19 @@ def classify_vote(
     policy: str = "majority",
     tie_break: str = "best",
     min_margin: float = 0.0,
+    max_diff: float = 0.1,
 ) -> DataFrame:
     """Reduce per-classifier rows (key, label, score) to one decision per
     key.
 
     policy='majority': most votes wins; 'max_score': highest max score wins.
     tie_break='best': break by summed score then label; 'abstain': emit
-    NULL winner when the top two are tied (within min_margin for scores).
+    NULL winner when the top two are tied (within min_margin for scores);
+    'best_with_diff' (marie/pipe/voting.py:122-133,213-230): on a vote tie
+    (majority) or unconditionally (max_score), rank the INDIVIDUAL result
+    scores of the eligible labels — the winner is the top result's label
+    only when it beats the runner-up score by more than `max_diff`,
+    otherwise the vote abstains (NULL winner).
     """
     agg = results.groupBy(key, label).agg(
         F.count(F.lit(1)).alias("votes"),
@@ -98,6 +104,47 @@ def classify_vote(
                 & (F.col("top_metric") - F.col("runner_metric") <= min_margin),
                 F.lit(None).cast("string"),
             ).otherwise(F.col(label)),
+        )
+    elif tie_break == "best_with_diff":
+        # Individual-result ranking (NOT the per-label aggregates): the
+        # reference gates on the gap between the two best single scores.
+        wm = Window.partitionBy(key)
+        if policy == "majority":
+            # eligible results: rows whose label holds the max vote count;
+            # the gate engages only on a vote TIE (voting.py:106,122-133)
+            lbl_votes = agg.withColumn("_mx", F.max("votes").over(wm)).withColumn(
+                "_ties", F.sum((F.col("votes") == F.col("_mx")).cast("int")).over(wm)
+            )
+            eligible = results.join(
+                lbl_votes.filter(F.col("votes") == F.col("_mx")).select(
+                    F.col(key).alias("_ek"),
+                    F.col(label).alias("_el"),
+                    F.col("_ties"),
+                ),
+                (F.col(key) == F.col("_ek")) & (F.col(label) == F.col("_el")),
+            )
+        else:
+            # max_score policy applies the gate unconditionally (:213-230)
+            eligible = results.withColumn("_ties", F.lit(2))
+        w2 = Window.partitionBy(key).orderBy(F.desc(score), F.asc(label))
+        top2 = (
+            eligible.withColumn("_rnk", F.row_number().over(w2))
+            .filter(F.col("_rnk") <= 2)
+            .groupBy(key)
+            .agg(
+                F.max(F.when(F.col("_rnk") == 1, F.col(score))).alias("_s1"),
+                F.max(F.when(F.col("_rnk") == 1, F.col(label))).alias("_l1"),
+                F.max(F.when(F.col("_rnk") == 2, F.col(score))).alias("_s2"),
+                F.max("_ties").alias("_ties"),
+            )
+        )
+        gated = F.when(
+            F.col("_s2").isNull() | (F.col("_s1") - F.col("_s2") > max_diff),
+            F.col("_l1"),
+        ).otherwise(F.lit(None).cast("string"))
+        first = first.join(top2, key).withColumn(
+            "winner",
+            F.when(F.col("_ties") >= 2, gated).otherwise(F.col(label)),
         )
     else:
         first = first.withColumn("winner", F.col(label))

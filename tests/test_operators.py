@@ -187,6 +187,38 @@ def test_classify_vote_policies(spark):
     assert ab[1] == "cat" and ab[2] is None
 
 
+def test_classify_vote_best_with_diff(spark):
+    """BEST_WITH_DIFF (marie/pipe/voting.py:122-133,213-230): on a vote tie
+    under majority (or unconditionally under max_score), the top individual
+    score wins only when it beats the runner-up by more than max_diff."""
+    from marie_ai_spark.operators.annotate import classify_vote
+
+    rows = [
+        # k1: vote tie cat/dog; best scores 0.9 vs 0.3 -> diff 0.6 > 0.1 -> dog
+        (1, "cat", 0.3), (1, "dog", 0.9),
+        # k2: vote tie; best scores 0.55 vs 0.50 -> diff 0.05 <= 0.1 -> abstain
+        (2, "cat", 0.55), (2, "dog", 0.50),
+        # k3: NO vote tie (cat 2 votes) -> plain majority, gate not engaged
+        (3, "cat", 0.1), (3, "cat", 0.2), (3, "dog", 0.99),
+    ]
+    df = spark.createDataFrame(rows, "k long, label string, score double")
+    bwd = {r.k: r.winner for r in classify_vote(
+        df, "k", policy="majority", tie_break="best_with_diff", max_diff=0.1
+    ).collect()}
+    assert bwd[1] == "dog" and bwd[2] is None and bwd[3] == "cat"
+    # max_score policy applies the gate unconditionally: k3's top two
+    # individual scores are 0.99 vs 0.2 -> dog; k2 still abstains
+    mxd = {r.k: r.winner for r in classify_vote(
+        df, "k", policy="max_score", tie_break="best_with_diff", max_diff=0.1
+    ).collect()}
+    assert mxd[1] == "dog" and mxd[2] is None and mxd[3] == "dog"
+    # single-result key: returned as-is (voting.py:186 len==1 branch)
+    one = spark.createDataFrame([(9, "solo", 0.2)], "k long, label string, score double")
+    solo = classify_vote(one, "k", policy="max_score",
+                         tie_break="best_with_diff").collect()
+    assert solo[0].winner == "solo"
+
+
 def test_cosine_neardup_pairs(spark):
     from marie_ai_spark.operators.similarity import cosine_neardup_pairs
 
