@@ -1458,14 +1458,20 @@ def oracle_sql() -> dict[str, str]:
             ),
             money AS (
                 SELECT *, try_cast(
-                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                    CASE WHEN m_s NOT LIKE '%.%' THEN m_s
+                         ELSE replace(left(m_s, len(m_s) - position('.' IN reverse(m_s))), '.', '')
+                              || right(m_s, position('.' IN reverse(m_s)))
+                    END AS DECIMAL(18,4)) AS m_num,
+                    ((value LIKE '%(%' AND value LIKE '%)%')
+                     OR value LIKE '%-%') AS m_neg
+                FROM (
+                    SELECT *, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                         value, '[()\\-]', '', 'g'),
                         '(\\d)\\s+(\\d)', '\\1.\\2', 'g'),
                         '[$, ]', '', 'g'),
-                        '[^0-9.]', '', 'g') AS DECIMAL(18,4)) AS m_num,
-                    ((value LIKE '%(%' AND value LIKE '%)%')
-                     OR value LIKE '%-%') AS m_neg
-                FROM firsts
+                        '[^0-9.]', '', 'g') AS m_s
+                    FROM firsts
+                )
             )
             SELECT conv_id, field_name, field_type, turn_idx, kv_idx,
                    value AS value_original,
@@ -1512,14 +1518,20 @@ def oracle_sql() -> dict[str, str]:
             ),
             money AS (
                 SELECT *, try_cast(
-                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                    CASE WHEN m_s NOT LIKE '%.%' THEN m_s
+                         ELSE replace(left(m_s, len(m_s) - position('.' IN reverse(m_s))), '.', '')
+                              || right(m_s, position('.' IN reverse(m_s)))
+                    END AS DECIMAL(18,4)) AS m_num,
+                    ((value LIKE '%(%' AND value LIKE '%)%')
+                     OR value LIKE '%-%') AS m_neg
+                FROM (
+                    SELECT *, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                         value, '[()\\-]', '', 'g'),
                         '(\\d)\\s+(\\d)', '\\1.\\2', 'g'),
                         '[$, ]', '', 'g'),
-                        '[^0-9.]', '', 'g') AS DECIMAL(18,4)) AS m_num,
-                    ((value LIKE '%(%' AND value LIKE '%)%')
-                     OR value LIKE '%-%') AS m_neg
-                FROM matched
+                        '[^0-9.]', '', 'g') AS m_s
+                    FROM matched
+                )
             ),
             responses AS (
                 SELECT conv_id, field_name,

@@ -261,8 +261,9 @@ def winnow_fingerprints(
 
 def duplicate_clusters(
     pairs: DataFrame,
-    max_iter: int = 20,
+    max_iter: int = 25,
     driver_threshold: int | None = 1_000_000,
+    algo: str = "star",
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs -> duplicate
     clusters: (doc_id, cluster_id) with cluster_id = the component's
@@ -272,14 +273,17 @@ def duplicate_clusters(
     Adaptive plan (the conversation_text pattern): below
     `driver_threshold` pairs, the edge list is bounded metadata — a
     driver-side union-find finishes in milliseconds where the iterative
-    plan pays several scheduler round-trips per propagation step. Above
-    it (the 100 TB regime), min-label propagation runs distributed: each
-    iteration every vertex takes the minimum label among itself and its
-    neighbors, converging in O(diameter) iterations (near-dup components
-    are short chains in practice); labels are cached per iteration with
-    the previous one unpersisted (at cluster scale swap the cache for a
-    checkpointed staging table, or large-star/small-star for adversarial
-    diameters). Both paths produce identical labels.
+    plan pays several scheduler round-trips per step. Above it (the
+    100 TB regime) the default distributed path is LARGE-STAR/SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    alternating star rounds converge in O(log^2 n) iterations REGARDLESS
+    of component diameter, so an adversarial million-node chain costs
+    ~log rounds, not a million propagation steps. algo="min_label" keeps
+    the one-join-per-hop propagation (O(diameter) iterations — fine for
+    the short chains real near-dup components form, pathological for long
+    paths). All paths produce identical labels; a RuntimeError is raised
+    if the iteration budget is exhausted before convergence rather than
+    silently emitting partial labels.
     """
     if driver_threshold is not None:
         head = pairs.limit(driver_threshold + 1).collect()
@@ -310,6 +314,85 @@ def duplicate_clusters(
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
+    if algo == "star":
+        return _cc_star(edges, max_iter)
+    if algo == "min_label":
+        return _cc_min_label(edges, max_iter)
+    raise ValueError(f"unknown cc algorithm: {algo}")
+
+
+def _edge_sig(e: DataFrame) -> tuple:
+    """Exact-count + hash-sum signature of a distinct edge set (one job).
+    xxhash64 is summed as decimal(38,0) — bigint sums overflow under ANSI."""
+    row = e.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star alternation. Edges are kept canonical as
+    (a=larger, b=smaller); the fixpoint is a star forest whose roots are
+    the component minima. Each round is two groupBy+join passes over the
+    edge list — O(log^2 n) rounds total, diameter-independent."""
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("a"),
+            F.least("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()  # cut the candidate-generation lineage once
+    )
+    sig = _edge_sig(e)
+    for _ in range(max_iter):
+        # large-star: around every node u (both directions), attach all
+        # LARGER neighbors to m(u) = min(neighborhood(u) + {u})
+        nbrs = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("mv", F.col("u")).alias("m"))
+        e1 = (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # small-star: around every node a (its neighbors here are all
+        # smaller), re-hang them and a itself under the minimum
+        mins2 = e1.groupBy("a").agg(F.min("b").alias("m"))
+        e2 = (
+            e1.join(mins2, "a")
+            .where(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("a"), F.col("m").alias("b")))
+            .distinct()
+            .localCheckpoint()  # truncate per-round lineage growth
+        )
+        new_sig = _edge_sig(e2)
+        e = e2
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters(star) did not converge in {max_iter} rounds"
+        )
+    return (
+        e.select(F.col("a").alias("doc_id"), F.col("b").alias("cluster_id"))
+        .union(
+            e.select(F.col("b").alias("doc_id"), F.col("b").alias("cluster_id"))
+        )
+        .distinct()
+    )
+
+
+def _cc_min_label(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Min-label propagation: one join per hop, O(diameter) iterations.
+    Kept for the short-chain regime; raises instead of returning partial
+    labels when the budget is exhausted."""
     # cache the symmetric edge list: every iteration issues two actions
     # (propagation join + convergence count) and would otherwise re-run
     # the whole candidate-generation subtree (e.g. MinHash banding) per
@@ -323,6 +406,7 @@ def duplicate_clusters(
         .withColumn("comp", F.col("v"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym.dst == labels.v)
@@ -345,11 +429,18 @@ def duplicate_clusters(
         changed = new_labels.filter("chg").count()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    out = labels.select(
+    sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters(min_label) did not converge in {max_iter} "
+            "iterations (component diameter exceeds the budget); use the "
+            "default algo='star' path"
+        )
+    return labels.select(
         F.col("v").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
-    return out
 
 
 def simhash_neardup_pairs(

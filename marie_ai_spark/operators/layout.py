@@ -340,14 +340,18 @@ def adlib_summary(transcripts: DataFrame) -> DataFrame:
     per_doc = pages.groupBy("conv_id", "turn_idx").agg(
         F.array_sort(F.collect_list("page")).alias("pgs")
     )
+    # filenames come from the sorted page ORDINAL (row position), not the
+    # page value — the renderer twin enumerates range(n_pages), so a
+    # document with non-contiguous or non-0-based page numbers still gets
+    # 1.tif.xml, 2.tif.xml, ... (adlib_renderer.py default generator)
     page_nodes = F.array_join(
         F.transform(
             F.col("pgs"),
-            lambda p: F.concat(
+            lambda p, i: F.concat(
                 F.lit('<PAGE Filename="'),
-                (p + 1).cast("string"),
+                (i + 1).cast("string"),
                 F.lit('.tif.xml" NUMBER="'),
-                (p + 1).cast("string"),
+                (i + 1).cast("string"),
                 F.lit('" />'),
             ),
         ),

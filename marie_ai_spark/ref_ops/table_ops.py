@@ -204,7 +204,9 @@ def money_value(v: str) -> str:
         q = Decimal(s).quantize(Decimal("0.00"), rounding=ROUND_HALF_UP)
     except ArithmeticError:
         return "0.00"
-    return str(-q if neg else q)
+    # canonical sign: no negative zero (Spark decimal negation yields
+    # '0.00' for a zero magnitude; keep the twin identical)
+    return str(-q if neg and q != 0 else q)
 
 
 def alphanumeric_value(v: str) -> str:

@@ -56,6 +56,29 @@ def test_adlib_summary_byte_equal(spark, corpus):
     assert got == want
 
 
+def test_adlib_summary_noncontiguous_pages(spark):
+    """Filenames come from the sorted page ORDINAL, not the page value: a
+    document with pages {3, 7} still lists 1.tif.xml and 2.tif.xml exactly
+    like the twin's range(n_pages) enumeration."""
+    import json
+
+    doc = json.dumps(
+        {
+            "pages": [
+                {"page": 7, "width": 100, "height": 100, "words": []},
+                {"page": 3, "width": 100, "height": 100, "words": []},
+            ]
+        },
+        separators=(",", ":"),
+    )
+    sdf = spark.createDataFrame(
+        [("c1", 0, doc)], "conv_id string, turn_idx int, text string"
+    )
+    (row,) = adlib_summary(sdf).collect()
+    assert row.summary_xml == render_summary_xml(2)
+    assert row.n_pages == 2
+
+
 def test_adlib_escaping(spark):
     """Attribute escaping must match ElementTree exactly."""
     words = [{"id": 0, "text": 'a<b&"c>d', "box": [150, 200, 90, 40], "conf": 0.95}]

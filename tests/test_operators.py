@@ -554,6 +554,46 @@ def test_duplicate_clusters_paths_agree(spark):
         for r in dedup.duplicate_clusters(df, driver_threshold=None).collect()
     }
     assert fast == dist and len(fast) > 30
+    # min_label path agrees too (short diameters here)
+    ml = {
+        r.doc_id: r.cluster_id
+        for r in dedup.duplicate_clusters(
+            df, driver_threshold=None, algo="min_label"
+        ).collect()
+    }
+    assert fast == ml
+
+
+def test_duplicate_clusters_long_chain_star(spark):
+    """Adversarial diameter: a shuffled 400-node chain. Large-star/
+    small-star must converge within a LOG-bounded round budget (min-label
+    would need ~400 propagation hops) and label every node with the
+    component minimum."""
+    import random
+
+    n = 400
+    chain = [(i, i + 1) for i in range(n)]
+    rng = random.Random(7)
+    rng.shuffle(chain)
+    # second component: another chain offset by 10_000
+    chain += [(10_000 + i, 10_000 + i + 1) for i in range(50)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.duplicate_clusters(
+            df, driver_threshold=None, max_iter=12
+        ).collect()
+    }
+    assert len(got) == n + 1 + 51
+    assert all(c == 0 for v, c in got.items() if v < 10_000)
+    assert all(c == 10_000 for v, c in got.items() if v >= 10_000)
+    # the min-label path must refuse to emit partial labels on this graph
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="did not converge"):
+        dedup.duplicate_clusters(
+            df, driver_threshold=None, algo="min_label", max_iter=12
+        ).collect()
 
 
 def test_repetition_stats_handcrafted(spark):

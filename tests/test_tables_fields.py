@@ -165,6 +165,10 @@ def test_spark_handcrafted_matches(spark):
         "no digits here",
         "7467.21",
         "$0.005",
+        "(0.00)",        # negative zero: canonical '0.00', never '-0.00'
+        "-0",
+        "1.234.56",      # multi-dot: keep only the last dot
+        "1.2.3.4",
     ],
 )
 def test_money_expr_matches_python_twin(spark, raw):
