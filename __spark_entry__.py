@@ -445,8 +445,10 @@ def q_adlib_summary(spark, sf):
 
 
 def q_media_decode(spark, sf):
-    """Multimodal plumbing: binary media column -> decoded metadata via the
-    Arrow-batched stub codec (rows-only; synthetic assets)."""
+    """Multimodal decode: real dependency-free container parsing
+    (PNG/JPEG/GIF headers, full PNG pixel + WAV PCM16 decode) over
+    spec-valid generated bytes; video stays the documented codec seam.
+    Oracle: an independent struct-level re-parse fixture."""
     from marie_ai_spark.operators.multimodal import decode_media, gen_media
 
     return decode_media(gen_media(spark, n_assets=200, seed=42))
@@ -1417,6 +1419,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, section_idx, table_idx, row_idx,
                    col_idx, col_name, value
             FROM read_parquet('/root/repo/fixtures/oracle/section_tables_d200.parquet')
+        """,
+        # independently re-parsed expected decode of the gen_media bytes
+        # (struct-level readers in tools/make_fixtures.py, separate from
+        # the ref_ops/media.py parsers the operator uses)
+        "q_media_decode": """
+            SELECT asset_id, kind, format, width, height, n_frames,
+                   sample_rate, mean_value, ok
+            FROM read_parquet('/root/repo/fixtures/oracle/media_decode_a200.parquet')
         """,
         "q_region_fields": f"""
             WITH {_FIXTURE_LINES_CTE},

@@ -1,14 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Design (per the project brief): media payloads are `binary` columns with a
-typed metadata struct; decode / feature-extract / resize / frame-sample run
-as Arrow-batched `mapInPandas` stages. The image/audio codec libraries are
-NOT available in this container, so the codec step is stubbed: payloads
-produced by `gen_media` carry a small self-describing header that the stub
-"decodes" deterministically, and real payloads raise NotImplementedError
-with a clear message. Everything Spark-side — schemas, batch shapes,
-partitioning, the UDF signatures — is real and tested, so swapping the
-stub for PIL/torchaudio/pyav is a one-function change.
+Media payloads are `binary` columns with a typed metadata struct; decode /
+feature-extract / resize / frame-sample run as Arrow-batched `mapInPandas`
+stages. The decode step is REAL for PNG / JPEG / GIF / WAV via the
+dependency-free container readers in ref_ops/media.py (PNG additionally
+gets a full pixel decode for 8-bit grayscale filter-0 images, WAV a real
+PCM16 amplitude mean); gen_media emits spec-valid bytes for those formats.
+Video codecs remain the one documented seam: synthetic video payloads
+carry a FAKEMEDIA1 header decoded deterministically, and unknown real
+containers raise NotImplementedError (captured per-asset as ok=false) —
+swapping in PIL/pyav is a one-function change.
 
 The dataflow mirrors the reference's GPU stages (SURVEY.md §2.8): batched,
 stateless maps over assets, one Arrow batch at a time.
@@ -39,83 +40,149 @@ def _fake_payload(asset_id: str, kind: str, width: int, height: int,
     return _MAGIC + _struct.pack("<III", width, height, n_frames) + body
 
 
-def gen_media(spark, n_assets: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table (no external data)."""
+def _pixels(asset_id: str, n: int) -> bytes:
+    """Deterministic pseudo-image content: md5 keystream over the id."""
+    out = b""
+    ctr = 0
+    while len(out) < n:
+        out += hashlib.md5(f"{asset_id}:{ctr}".encode()).digest()
+        ctr += 1
+    return out[:n]
+
+
+def gen_media_rows(n_assets: int = 100, seed: int = 42) -> list:
+    """Deterministic synthetic media rows with REAL container bytes:
+    images cycle valid PNG (full pixel payload) / JPEG (SOF header
+    stream) / GIF (89a descriptor); audio is complete mono PCM16 WAV.
+    Video remains the documented codec seam (FAKEMEDIA1 stub payload).
+    Pure python (no Spark) so fixture oracles can re-derive independently."""
+    from marie_ai_spark.ref_ops import media as m
+
     rows = []
     kinds = ["image", "audio", "video"]
+    img_fmt = ["png", "jpeg", "gif"]
     for i in range(n_assets):
         kind = kinds[i % 3]
+        aid = f"asset-{seed}-{i:06d}"
         w, h = 64 + (i % 8) * 32, 64 + (i % 5) * 32
         frames = 1 if kind == "image" else 16 + i % 32
+        if kind == "image":
+            fmt = img_fmt[(i // 3) % 3]
+            if fmt == "png":
+                payload = m.png_bytes(w, h, _pixels(aid, w * h))
+            elif fmt == "jpeg":
+                payload = m.jpeg_bytes(w, h)
+            else:
+                payload = m.gif_bytes(w, h)
+            mime = f"image/{fmt}"
+        elif kind == "audio":
+            raw = _pixels(aid, frames * 64 * 2)
+            samples = [
+                int.from_bytes(raw[j : j + 2], "little", signed=True)
+                for j in range(0, len(raw), 2)
+            ]
+            payload = m.wav_bytes(16000, samples)
+            mime = "audio/wav"
+        else:
+            payload = _fake_payload(aid, kind, w, h, frames)
+            mime = "video/mp4"
         rows.append(
             (
-                f"asset-{seed}-{i:06d}",
+                aid,
                 kind,
-                _fake_payload(f"asset-{seed}-{i:06d}", kind, w, h, frames),
+                payload,
                 {
                     "width": w if kind != "audio" else 0,
                     "height": h if kind != "audio" else 0,
                     "sample_rate": 16000 if kind == "audio" else 0,
                     "n_frames": frames,
-                    "mime": {"image": "image/png", "audio": "audio/wav",
-                             "video": "video/mp4"}[kind],
+                    "mime": mime,
                 },
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
 
 
-def _decode_stub(payload: bytes):
-    """Stubbed codec: decodes only the synthetic header. Real media →
-    NotImplementedError (the marked seam for PIL/pyav)."""
-    if payload is None or not bytes(payload).startswith(_MAGIC):
-        raise NotImplementedError(
-            "real media decode requires an image/audio codec library "
-            "(PIL/pyav), not available in this environment"
-        )
-    b = bytes(payload)
-    off = len(_MAGIC)
-    width, height, n_frames = _struct.unpack("<III", b[off : off + 12])
-    digest = hashlib.md5(b[off + 12 :]).digest()
-    mean_px = digest[0] / 255.0
-    return width, height, n_frames, mean_px
+def gen_media(spark, n_assets: int = 100, seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(gen_media_rows(n_assets, seed), MEDIA_SCHEMA)
+
+
+def _decode_one(payload) -> dict:
+    """Real dependency-free decode for PNG/JPEG/GIF/WAV (ref_ops/media.py);
+    the FAKEMEDIA1 synthetic header covers the remaining video seam. Other
+    payloads → NotImplementedError (the marked hook for a real codec lib)."""
+    from marie_ai_spark.ref_ops import media as m
+
+    b = bytes(payload) if payload is not None else b""
+    fmt = m.sniff_format(b)
+    if fmt == "png":
+        r = m.parse_png(b)
+        return {"format": "png", "width": r["width"], "height": r["height"],
+                "n_frames": 1, "sample_rate": 0, "mean_value": r["mean_pixel"]}
+    if fmt == "jpeg":
+        r = m.parse_jpeg(b)
+        return {"format": "jpeg", "width": r["width"], "height": r["height"],
+                "n_frames": 1, "sample_rate": 0, "mean_value": 0.0}
+    if fmt == "gif":
+        r = m.parse_gif(b)
+        return {"format": "gif", "width": r["width"], "height": r["height"],
+                "n_frames": 1, "sample_rate": 0, "mean_value": 0.0}
+    if fmt == "wav":
+        r = m.parse_wav(b)
+        return {"format": "wav", "width": 0, "height": 0,
+                "n_frames": r["n_samples"], "sample_rate": r["sample_rate"],
+                "mean_value": r["mean_amplitude"]}
+    if b.startswith(_MAGIC):
+        off = len(_MAGIC)
+        width, height, n_frames = _struct.unpack("<III", b[off : off + 12])
+        digest = hashlib.md5(b[off + 12 :]).digest()
+        return {"format": "fake", "width": width, "height": height,
+                "n_frames": n_frames, "sample_rate": 0,
+                "mean_value": digest[0] / 255.0}
+    raise NotImplementedError(
+        "unsupported container: a real video/image codec library (PIL/pyav) "
+        "is required for this payload and is not available here"
+    )
 
 
 DECODED_SCHEMA = (
-    "asset_id string, kind string, width int, height int, n_frames int, "
-    "mean_pixel double, ok boolean"
+    "asset_id string, kind string, format string, width int, height int, "
+    "n_frames int, sample_rate int, mean_value double, ok boolean"
 )
 
 
 def decode_media(media: DataFrame) -> DataFrame:
-    """Arrow-batched decode stage: per asset, header fields + a content
-    statistic. Errors per asset are captured, not thrown (ok=false)."""
+    """Arrow-batched decode stage: per asset, real container header fields
+    + a content statistic (true pixel mean for PNG, true |amplitude| mean
+    for WAV). Errors per asset are captured, not thrown (ok=false)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"asset_id": [], "kind": [], "width": [], "height": [],
-                   "n_frames": [], "mean_pixel": [], "ok": []}
+            out = {"asset_id": [], "kind": [], "format": [], "width": [],
+                   "height": [], "n_frames": [], "sample_rate": [],
+                   "mean_value": [], "ok": []}
             for aid, kind, payload in zip(
                 pdf["asset_id"], pdf["kind"], pdf["payload"]
             ):
                 try:
-                    w, h, nf, mp = _decode_stub(payload)
+                    d = _decode_one(payload)
                     ok = True
-                except NotImplementedError:
-                    w = h = nf = 0
-                    mp = 0.0
+                except (NotImplementedError, ValueError):
+                    d = {"format": None, "width": 0, "height": 0,
+                         "n_frames": 0, "sample_rate": 0, "mean_value": 0.0}
                     ok = False
                 out["asset_id"].append(aid)
                 out["kind"].append(kind)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_frames"].append(nf)
-                out["mean_pixel"].append(round(mp, 6))
+                out["format"].append(d["format"])
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["n_frames"].append(d["n_frames"])
+                out["sample_rate"].append(d["sample_rate"])
+                out["mean_value"].append(round(d["mean_value"], 6))
                 out["ok"].append(ok)
             res = pd.DataFrame(out)
-            res["width"] = res["width"].astype("int32")
-            res["height"] = res["height"].astype("int32")
-            res["n_frames"] = res["n_frames"].astype("int32")
+            for c in ("width", "height", "n_frames", "sample_rate"):
+                res[c] = res[c].astype("int32")
             yield res
 
     return media.select("asset_id", "kind", "payload").mapInPandas(

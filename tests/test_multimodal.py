@@ -33,6 +33,32 @@ def test_decode_stub_deterministic(spark, media):
     img = d1[d1.kind == "image"]
     assert (img.n_frames == 1).all()
     assert img.width.between(64, 320).all()
+    # real container formats round-trip: dims from the actual headers
+    assert set(img.format) == {"png", "jpeg", "gif"}
+    aud = d1[d1.kind == "audio"]
+    assert (aud.format == "wav").all() and (aud.sample_rate == 16000).all()
+    assert (aud.mean_value > 0).all()  # real PCM16 decode
+    assert (d1[d1.kind == "video"].format == "fake").all()  # documented seam
+    png = img[img.format == "png"]
+    assert (png.mean_value > 0).all()  # real pixel decode
+
+
+def test_png_roundtrip_real_decode(spark):
+    """A pixel-exact round trip: generate a PNG with known content, decode
+    it through the Spark stage, and check the true mean."""
+    from marie_ai_spark.ref_ops.media import png_bytes
+
+    pix = bytes(range(16)) * 16  # 16x16, mean = 7.5/255
+    sdf = spark.createDataFrame(
+        [("p", "image", bytearray(png_bytes(16, 16, pix)),
+          {"width": 16, "height": 16, "sample_rate": 0, "n_frames": 1,
+           "mime": "image/png"})],
+        "asset_id string, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>",
+    )
+    (row,) = decode_media(sdf).collect()
+    assert (row.width, row.height, row.format, row.ok) == (16, 16, "png", True)
+    assert row.mean_value == round(7.5 / 255.0, 6)
 
 
 def test_decode_real_media_is_marked_stub(spark):

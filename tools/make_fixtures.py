@@ -385,6 +385,99 @@ def section_tables_oracle(n_docs: int = 200, seed: int = 42) -> pd.DataFrame:
     return out
 
 
+def media_decode_oracle(n_assets: int = 200, seed: int = 42) -> pd.DataFrame:
+    """Independent re-parse of the gen_media payload bytes — struct-level
+    readers written against the format specs SEPARATELY from
+    ref_ops/media.py, so the fixture is a second implementation, not a
+    re-export of the operator's parser."""
+    import struct
+    import zlib
+
+    from marie_ai_spark.operators.multimodal import _MAGIC, gen_media_rows
+
+    recs = []
+    for aid, kind, payload, _meta in gen_media_rows(n_assets, seed):
+        b = bytes(payload)
+        fmt = None
+        w = h = nf = sr = 0
+        mean = 0.0
+        ok = True
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            fmt = "png"
+            # IHDR is always the first chunk: fixed offsets per the spec
+            w, h = struct.unpack(">II", b[16:24])
+            nf = 1
+            # collect IDAT chunks and inflate; filter byte 0 per scanline
+            off, idat = 8, b""
+            while off + 8 <= len(b):
+                (ln,) = struct.unpack(">I", b[off : off + 4])
+                typ = b[off + 4 : off + 8]
+                if typ == b"IDAT":
+                    idat += b[off + 8 : off + 8 + ln]
+                off += 12 + ln
+            raw = zlib.decompress(idat)
+            pix = bytearray()
+            for y in range(h):
+                pix += raw[y * (w + 1) + 1 : (y + 1) * (w + 1)]
+            mean = sum(pix) / (w * h * 255.0)
+        elif b[:2] == b"\xff\xd8":
+            fmt = "jpeg"
+            # this generator writes SOI + APP0 + SOF0; walk two segments
+            off = 2
+            while off < len(b) - 1:
+                marker = b[off + 1]
+                (ln,) = struct.unpack(">H", b[off + 2 : off + 4])
+                if marker == 0xC0:
+                    h, w = struct.unpack(">HH", b[off + 5 : off + 9])
+                    break
+                off += 2 + ln
+            nf = 1
+        elif b[:6] in (b"GIF87a", b"GIF89a"):
+            fmt = "gif"
+            w, h = struct.unpack("<HH", b[6:10])
+            nf = 1
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            fmt = "wav"
+            off = 12
+            data = b""
+            while off + 8 <= len(b):
+                cid = b[off : off + 4]
+                (ln,) = struct.unpack("<I", b[off + 4 : off + 8])
+                if cid == b"fmt ":
+                    sr = struct.unpack("<I", b[off + 12 : off + 16])[0]
+                elif cid == b"data":
+                    data = b[off + 8 : off + 8 + ln]
+                off += 8 + ln + (ln & 1)
+            nf = len(data) // 2
+            vals = struct.unpack(f"<{nf}h", data)
+            mean = sum(abs(v) for v in vals) / (nf * 32768.0)
+        elif b.startswith(_MAGIC):
+            fmt = "fake"
+            w, h, nf = struct.unpack("<III", b[10:22])
+            import hashlib as _hl
+
+            mean = _hl.md5(b[22:]).digest()[0] / 255.0
+        else:
+            ok = False
+        recs.append(
+            {
+                "asset_id": aid,
+                "kind": kind,
+                "format": fmt,
+                "width": w,
+                "height": h,
+                "n_frames": nf,
+                "sample_rate": sr,
+                "mean_value": round(mean, 6),
+                "ok": ok,
+            }
+        )
+    out = pd.DataFrame(recs)
+    for c in ("width", "height", "n_frames", "sample_rate"):
+        out[c] = out[c].astype("int32")
+    return out
+
+
 def training_pipeline_oracle(df: pd.DataFrame) -> pd.DataFrame:
     """Pure-python twin of plans/training_pipeline.build_training_set over
     the ref_ops extraction: quality gate -> exact dedup (keep min key per
@@ -557,6 +650,9 @@ def main():
     )
     section_tables_oracle(200, 42).to_parquet(
         os.path.join(ROOT, "oracle", "section_tables_d200.parquet"), index=False
+    )
+    media_decode_oracle(200, 42).to_parquet(
+        os.path.join(ROOT, "oracle", "media_decode_a200.parquet"), index=False
     )
     for f in sorted(os.listdir(os.path.join(ROOT, "oracle"))):
         print("wrote", f)
