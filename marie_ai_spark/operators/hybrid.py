@@ -136,6 +136,40 @@ def _dot(a, b):
     )
 
 
+def _zero_cos_emits_nothing(labels: list[str], critical: list[str]) -> bool:
+    """Twin-exact proof that a candidate with ZERO cosine against every
+    label cannot pass MIN_FINAL_SCORE for THIS label configuration: with
+    all-equal sims the twin ranks labels ascending, boosts criticals, and
+    softmaxes — when the resulting max final is below the gate, any norm
+    sharing no hash bucket with any label provably emits nothing, so the
+    embedding channel may skip it entirely."""
+    import math
+
+    top = sorted(labels)[:TOP_K]
+    if not top:
+        return True
+    raw = [
+        (min(CRITICAL_BOOST, 1.0) if lbl in critical else 0.0)
+        * EMBEDDING_WEIGHT
+        for lbl in top
+    ]
+    mx = max(raw)
+    exps = [math.exp(r - mx) for r in raw]
+    return max(exps) / sum(exps) < MIN_FINAL_SCORE
+
+
+def _label_buckets(label_rows) -> list[int]:
+    """Hash buckets touched by any label token (embed_line's md5 byte0)."""
+    import hashlib
+
+    buckets = set()
+    for _lbl, norm_label, _crit, _vec in label_rows:
+        for tok in norm_label.lower().split():
+            h = hashlib.md5(tok.encode("utf-8", "surrogatepass")).digest()
+            buckets.add(h[0] % _EMBED_DIM)
+    return sorted(buckets)
+
+
 def hybrid_annotate(
     transcripts: DataFrame,
     labels: list[str] | None = None,
@@ -169,10 +203,15 @@ def hybrid_annotate(
         )
     )
     # `normed` feeds both the distinct-norm scoring branch and the
-    # join-back; a cache barrier here was MEASURED to not help (the
-    # candidate fan-out is cheap relative to the scoring windows), so the
-    # recompute is kept and no 100 TB cache liability is introduced
-    normed = cands.select("*", norm.alias("norm")).filter(F.col("norm") != "")
+    # join-back. A cache barrier here is MEASURED to pay for itself
+    # (10.4s -> ~4.5s at sf0.1) now that the fuzzy channel is decoupled:
+    # without it the candidate fan-out (and the upstream source subtree)
+    # runs once per consumer. MEMORY_AND_DISK spills under pressure; at
+    # cluster scale the equivalent barrier is a staging write of the
+    # candidate table, the same pattern as the training pipeline.
+    normed = (
+        cands.select("*", norm.alias("norm")).filter(F.col("norm") != "").cache()
+    )
 
     # The match decision is a pure function of the NORMALIZED text, so score
     # each distinct norm once and join the decision back — the corpus has
@@ -181,9 +220,9 @@ def hybrid_annotate(
     # expressions (the hashing embedding) are interpreter-bound, so pruning
     # their input set matters more than codegen tweaks.
     distinct_norms = normed.select("norm").distinct()
-    embedded = _embed_table(distinct_norms)
 
-    scored = embedded.crossJoin(F.broadcast(label_df))
+    # --- fuzzy channel: needs NO embeddings — a tiny broadcast crossjoin
+    # and one aggregation decide fuzzy-direct per norm.
     # length gate: sim = 1 - lev/max <= 1 - |len_a - len_b|/max, so a pair
     # whose length gap alone puts it under FUZZY_THRESHOLD can never fire
     # the fuzzy-direct branch — skip the O(len^2) levenshtein for it and
@@ -195,30 +234,57 @@ def hybrid_annotate(
         gap <= (1.0 - FUZZY_THRESHOLD) * mx,
         F.lit(1.0) - F.levenshtein("norm", "norm_label") / mx,
     ).otherwise(F.lit(0.0))
-    cos = _dot(F.col("cvec"), F.col("lvec"))
-    scored = scored.select("*", fuzzy.alias("fuzzy"), cos.alias("cos"))
-
-    wc = Window.partitionBy("norm")
-    wf = wc.orderBy(F.desc("fuzzy"), F.asc("label"))
-    we = wc.orderBy(F.desc("cos"), F.asc("label"))
-    ranked = scored.select(
-        "*",
-        F.row_number().over(wf).alias("f_rn"),
-        F.row_number().over(we).alias("e_rn"),
-        F.max("fuzzy").over(wc).alias("f_best"),
+    fz = distinct_norms.crossJoin(
+        F.broadcast(label_df.select("label", "norm_label"))
+    ).select("norm", "label", fuzzy.alias("fuzzy"))
+    # winner per norm via min(struct(-fuzzy, label)): highest fuzzy, then
+    # lexicographically smallest label — an aggregation, not a window
+    f_agg = fz.groupBy("norm").agg(
+        F.max("fuzzy").alias("f_best"),
+        F.min(
+            F.struct((-F.col("fuzzy")).alias("nf"), F.col("label").alias("lbl"))
+        ).alias("fw"),
     )
-
-    fuzzy_direct = ranked.filter(
-        (F.col("f_best") >= FUZZY_THRESHOLD) & (F.col("f_rn") == 1)
-    ).select(
+    fuzzy_direct = f_agg.filter(F.col("f_best") >= FUZZY_THRESHOLD).select(
         "norm",
-        "label",
+        F.col("fw.lbl").alias("label"),
         F.lit("fuzzy-direct").alias("strategy"),
-        F.round("fuzzy", 6).alias("score"),
+        F.round(-F.col("fw.nf"), 6).alias("score"),
     )
 
-    emb = ranked.filter(
-        (F.col("f_best") < FUZZY_THRESHOLD) & (F.col("e_rn") <= TOP_K)
+    # --- embedding channel: only norms the fuzzy channel did not claim,
+    # prefiltered to those sharing at least one hash bucket with a label
+    # token. A norm with zero bucket overlap has cosine EXACTLY 0 against
+    # every label, and _zero_cos_emits_nothing proves the softmax gate
+    # rejects such a candidate for this label set — so the prune is
+    # output-equivalent, not approximate. (Bucket collisions only ever KEEP
+    # extra norms.) This skips the interpreter-bound embedding build for
+    # the vast majority of n-grams.
+    emb_norms = f_agg.filter(F.col("f_best") < FUZZY_THRESHOLD).select("norm")
+    if _zero_cos_emits_nothing(labels, critical):
+        buckets = _label_buckets(label_rows)
+        emb_norms = (
+            emb_norms.select(
+                "norm",
+                F.explode(F.split(F.trim(F.lower("norm")), r"\s+")).alias("tok"),
+            )
+            .select(
+                "norm",
+                (F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10).cast("int")
+                 % _EMBED_DIM).alias("idx"),
+            )
+            .filter(F.col("idx").isin(buckets))
+            .select("norm")
+            .distinct()
+        )
+    embedded = _embed_table(emb_norms)
+    cos = _dot(F.col("cvec"), F.col("lvec"))
+    scored = embedded.crossJoin(F.broadcast(label_df)).select(
+        "*", cos.alias("cos")
+    )
+    we = Window.partitionBy("norm").orderBy(F.desc("cos"), F.asc("label"))
+    emb = scored.select("*", F.row_number().over(we).alias("e_rn")).filter(
+        F.col("e_rn") <= TOP_K
     )
     boosted = F.when(
         F.col("is_critical"), F.least(F.col("cos") + CRITICAL_BOOST, F.lit(1.0))
