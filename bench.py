@@ -36,6 +36,7 @@ HEADLINE = [
     "q_simhash",
     "q_simhash_neardup",
     "q_dup_clusters",
+    "q_dup_clusters_star",
     "q_token_count",
     "q_quality_score",
     "q_fingerprint",
