@@ -1,0 +1,59 @@
+"""Property tests for the dependency-free media container readers:
+generate -> parse round trips must recover dimensions and content
+statistics exactly (pure python, no Spark session needed)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from marie_ai_spark.ref_ops import media as m
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(1, 64),
+    h=st.integers(1, 64),
+    data=st.data(),
+)
+def test_png_roundtrip(w, h, data):
+    pix = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h))
+    )
+    b = m.png_bytes(w, h, pix)
+    r = m.parse_png(b)
+    assert (r["width"], r["height"], r["format"]) == (w, h, "png")
+    assert r["mean_pixel"] == sum(pix) / (w * h * 255.0)
+
+
+@settings(max_examples=50, deadline=None)
+@given(w=st.integers(1, 65535), h=st.integers(1, 65535))
+def test_jpeg_roundtrip(w, h):
+    r = m.parse_jpeg(m.jpeg_bytes(w, h))
+    assert (r["width"], r["height"], r["format"]) == (w, h, "jpeg")
+
+
+@settings(max_examples=50, deadline=None)
+@given(w=st.integers(0, 65535), h=st.integers(0, 65535))
+def test_gif_roundtrip(w, h):
+    r = m.parse_gif(m.gif_bytes(w, h))
+    assert (r["width"], r["height"], r["format"]) == (w, h, "gif")
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    rate=st.integers(1, 192000),
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=512),
+)
+def test_wav_roundtrip(rate, samples):
+    r = m.parse_wav(m.wav_bytes(rate, samples))
+    assert r["format"] == "wav"
+    assert r["sample_rate"] == rate
+    assert r["n_samples"] == len(samples)
+    assert r["channels"] == 1 and r["bits"] == 16
+    assert r["mean_amplitude"] == sum(abs(v) for v in samples) / (
+        len(samples) * 32768.0
+    )
+
+
+def test_sniff_rejects_garbage():
+    for b in (b"", b"hello", b"\x89PNGxx", b"RIFFxxxxNOPE"):
+        assert m.sniff_format(b) is None
