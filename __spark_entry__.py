@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from marie_ai_spark.operators import (
     annotate,
+    curation,
     dedup,
     relational,
     sessions,
@@ -210,6 +211,40 @@ def q_dup_clusters(spark, sf):
     reachability closure — a fully independent algorithm."""
     pairs = dedup.minhash_lsh_candidates(_t(spark, sf, "documents"), n=3)
     return dedup.duplicate_clusters(pairs)
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination: 13-gram exact-collision join between the
+    corpus (doc_id % 50 != 0) and a held-out benchmark slice (doc_id % 50
+    == 0); returns (doc_id, bench_id, n_collisions) — the flag-before-
+    training list."""
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return curation.contaminated_docs(corpus, bench, n=13)
+
+
+def q_scrub_pii(spark, sf):
+    """PII scrubbing over a deterministic synthetic PII corpus: per-class
+    masking ([EMAIL]/[IP]/[PHONE]/[CARD]) + counts; oracle is an
+    independent python-re replay fixture."""
+    from marie_ai_spark.operators.curation import gen_pii_docs, scrub_pii
+
+    n = 1200 if "0.1" in sf else 300
+    return scrub_pii(gen_pii_docs(spark, n, seed=42))
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic composition sampling: per-language keep fractions via
+    md5-bucket thresholds — reproducible, shuffle-free, engine-portable."""
+    return curation.stratified_sample(
+        _t(spark, sf, "documents"),
+        "lang",
+        {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.1},
+        "doc_id",
+    )
 
 
 def q_dup_clusters_star(spark, sf):
@@ -663,22 +698,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_clusters": q_dup_clusters,
         "q_dup_clusters_star": q_dup_clusters_star,
         "q_winnow": q_winnow,
-        "q_token_count": q_token_count,
         "q_quality_score": q_quality_score,
         "q_fingerprint": q_fingerprint,
         "q_repetition": q_repetition,
-        "q_lang_profile": q_lang_profile,
         "q_lang_id": q_lang_id,
         "q_training_pipeline": q_training_pipeline,
         "q_embed_topk": q_embed_topk,
         "q_embed_ivf_topk": q_embed_ivf_topk,
         "q_embed_neardup": q_embed_neardup,
+        "q_decontaminate": q_decontaminate,
+        "q_scrub_pii": q_scrub_pii,
+        "q_stratified_sample": q_stratified_sample,
         # --- custom-operator relational evidence (as-of, range join, rollup)
         "q_asof_signup_before_purchase": q_asof_signup_before_purchase,
         "q_value_range_join": q_value_range_join,
-        "q_rollup": q_rollup,
         # ---------------- position 51+: double-green in r1+r2 (on record)
+        "q_rollup": q_rollup,
         "q_percentiles": q_percentiles,
+        "q_token_count": q_token_count,
+        "q_lang_profile": q_lang_profile,
         "q01_pricing_summary": q01_pricing_summary,
         "q03_top_revenue_orders": q03_top_revenue_orders,
         "q05_region_revenue": q05_region_revenue,
@@ -1750,4 +1788,41 @@ def oracle_sql() -> dict[str, str]:
     # identical expected labels: the star path must agree with the
     # union-find path bit-for-bit
     sqls["q_dup_clusters_star"] = sqls["q_dup_clusters"]
+    sqls["q_decontaminate"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, gram
+            FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(w) >= 13
+                                   THEN [array_to_string(w[i:i+12], ' ')
+                                         for i in range(1, len(w) - 11)]
+                                   ELSE []::VARCHAR[] END) AS gram
+                FROM tok
+            )
+        ),
+        bench AS (SELECT doc_id AS bench_id, gram FROM sh WHERE doc_id % 50 = 0),
+        corp AS (SELECT doc_id, gram FROM sh WHERE doc_id % 50 <> 0)
+        SELECT c.doc_id, b.bench_id, count(*) AS n_collisions
+        FROM corp c JOIN bench b USING (gram)
+        GROUP BY c.doc_id, b.bench_id
+    """
+    sqls["q_scrub_pii"] = """
+        SELECT doc_id, clean_text, n_email, n_ipv4, n_phone, n_card, n_pii
+        FROM read_parquet('/root/repo/fixtures/oracle/scrub_pii_d300.parquet')
+    """
+    sqls["q_stratified_sample"] = """
+        SELECT doc_id, text, lang, source, n_chars
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 1000000 <
+              CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
+                        WHEN 'fr' THEN 500000 WHEN 'es' THEN 250000
+                        WHEN 'zh' THEN 100000 ELSE 0 END
+    """
     return sqls

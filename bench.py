@@ -84,6 +84,9 @@ HEADLINE = [
     "q_serialize_blobs",
     "q_section_tables",
     "q_classify_vote_diff",
+    "q_decontaminate",
+    "q_scrub_pii",
+    "q_stratified_sample",
 ]
 
 

@@ -1,0 +1,185 @@
+"""Training-data curation operators: benchmark decontamination, PII
+scrubbing, and deterministic stratified composition sampling.
+
+These are the corpus-hygiene steps a large-scale training-data pipeline
+runs after extraction/dedup (the same station in the pipeline as the
+reference's cleaning/annotation passes — SURVEY.md §2.10's data-prep
+surface), expressed relationally:
+
+  - decontamination: n-gram collision join between the corpus and a
+    (small, broadcast) benchmark/eval set — the standard 13-gram exact
+    overlap test. The benchmark side is distinct-shingled and broadcast;
+    the corpus side shuffles ONLY the colliding shingles (inner join
+    prunes before the aggregate), so cost scales with corpus shingle
+    volume, never with |corpus| x |benchmark|.
+  - PII scrub: one pass of JVM regexp_replace/regexp_count per class —
+    email, IPv4, phone, long digit runs (card-like) — applied in a FIXED
+    order so the python twin and the SQL oracle mask identically. No
+    lookaround, so java.util.regex / RE2 / python `re` agree.
+  - stratified sampling: keep a row iff md5(key) mod 1e6 falls under the
+    stratum's fraction — deterministic, shuffle-free (the filter is a
+    pure column expression; no sampleBy randomness, reproducible across
+    engines and runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+
+# fixed application order; no lookaround so every regex engine agrees
+PII_RULES = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("card", r"\b\d{13,16}\b", "[CARD]"),
+]
+
+
+_PII_VOCAB = (
+    "order account invoice contact support ticket refund shipping billing "
+    "review update status record policy notice summary detail request"
+).split()
+
+
+def gen_pii_rows(n_docs: int, seed: int = 42) -> list[tuple[int, str]]:
+    """Deterministic synthetic PII-bearing documents (pure python, no
+    Spark) — sentences with injected emails / IPv4s / phones / card-like
+    digit runs, plus decoys (short digit runs, bare domains) that must
+    NOT match. Shared by the Spark query and the fixture oracle."""
+    import random
+
+    rows = []
+    for i in range(n_docs):
+        rng = random.Random((seed << 20) ^ i)
+        parts = []
+        for _ in range(rng.randint(2, 6)):
+            parts.append(
+                " ".join(rng.choice(_PII_VOCAB) for _ in range(rng.randint(3, 8)))
+            )
+            r = rng.random()
+            if r < 0.25:
+                parts.append(
+                    f"{rng.choice(_PII_VOCAB)}{rng.randint(1, 99)}"
+                    f"@example{rng.randint(1, 9)}.com"
+                )
+            elif r < 0.45:
+                parts.append(
+                    ".".join(str(rng.randint(1, 254)) for _ in range(4))
+                )
+            elif r < 0.6:
+                parts.append(
+                    f"{rng.randint(200, 999)}-{rng.randint(200, 999)}-"
+                    f"{rng.randint(1000, 9999)}"
+                )
+            elif r < 0.7:
+                parts.append(str(rng.randint(10**12, 10**16 - 1)))
+            elif r < 0.85:  # decoys
+                parts.append(str(rng.randint(1, 99999)))
+        rows.append((i, " ".join(parts)))
+    return rows
+
+
+def gen_pii_docs(spark, n_docs: int = 300, seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(
+        gen_pii_rows(n_docs, seed), "doc_id long, text string"
+    )
+
+
+def contaminated_docs(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Exact n-gram decontamination: (doc_id, bench_id, n_collisions) for
+    every document sharing at least one word n-gram with a benchmark
+    document. Run with the TRAINING corpus as `documents` and the eval
+    set as `benchmark`; drop or flag the returned doc_ids before
+    training. n=13 is the conventional window (big enough that chance
+    collisions vanish, small enough to catch quoted spans)."""
+
+    def sh(df, src_col, out_name):
+        # project tokens FIRST (projection-collapse trap: inlining the
+        # split makes Catalyst re-tokenize per transform slice)
+        toks = df.select(
+            F.col(src_col).alias(out_name), tokens("text").alias("w")
+        )
+        grams = F.when(
+            F.size("w") >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return toks.select(out_name, F.explode(grams).alias("gram"))
+
+    doc_grams = sh(documents, id_col, "_doc")
+    bench_grams = sh(benchmark, bench_id_col, "_bench")
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("_doc", "_bench")
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+        .select(
+            F.col("_doc").alias(id_col),
+            F.col("_bench").alias(bench_id_col),
+            "n_collisions",
+        )
+    )
+
+
+def scrub_pii(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mask PII classes in `text_col` and count the hits per class:
+    (id, clean_text, n_email, n_ipv4, n_phone, n_card, n_pii). Counts are
+    taken BEFORE masking, each class on the already-masked output of the
+    previous classes, in PII_RULES order — so overlapping patterns
+    resolve identically in the twin and the SQL oracle."""
+    out = documents
+    masked = F.col(text_col)
+    counts = []
+    for name, pattern, token in PII_RULES:
+        cnt = F.regexp_count(masked, F.lit(pattern)).alias(f"n_{name}")
+        counts.append(f"n_{name}")
+        out = out.withColumn(f"n_{name}", cnt)
+        masked = F.regexp_replace(masked, pattern, token)
+        out = out.withColumn("_masked", masked)
+        masked = F.col("_masked")
+    total = sum(F.col(c) for c in counts)
+    return out.select(
+        id_col,
+        F.col("_masked").alias("clean_text"),
+        *counts,
+        total.cast("int").alias("n_pii"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic composition sampling: keep a row iff
+    md5(key) mod 1e6 < fraction(stratum) * 1e6. Pure column filter — no
+    shuffle, no RNG state, identical keep-set on every engine and every
+    run (the property a 100 TB re-run needs). Fractions are exact in the
+    large-N limit per stratum."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000000
+    )
+    thresh = F.lit(int(default_fraction * 1000000))
+    for value, frac in sorted(fractions.items(), reverse=True):
+        thresh = F.when(
+            F.col(stratum_col) == value, F.lit(int(frac * 1000000))
+        ).otherwise(thresh)
+    return df.filter(bucket < thresh)

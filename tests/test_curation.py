@@ -1,0 +1,99 @@
+"""Curation operators: decontamination, PII scrubbing, stratified
+sampling — handcrafted semantics plus determinism properties."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from marie_ai_spark.operators.curation import (
+    contaminated_docs,
+    gen_pii_docs,
+    scrub_pii,
+    stratified_sample,
+)
+
+
+def test_decontamination_collision_and_clean(spark):
+    shared = " ".join(f"w{i}" for i in range(13))  # exactly one 13-gram
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix " + shared + " suffix"),     # contains the gram
+            (2, "totally different words only"),      # clean
+            (3, shared),                              # the gram exactly
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "intro " + shared)], "bench_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.bench_id): r.n_collisions
+        for r in contaminated_docs(docs, bench, n=13).collect()
+    }
+    assert got == {(1, 100): 1, (3, 100): 1}
+
+
+def test_decontamination_counts_multiple_grams(spark):
+    text = " ".join(f"t{i}" for i in range(15))  # 3 distinct 13-grams
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, text)], "bench_id long, text string")
+    (row,) = contaminated_docs(docs, bench, n=13).collect()
+    assert row.n_collisions == 3
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    text = (
+        "contact bob.smith+x@mail.example.com or 10.0.255.254 "
+        "call 555-123-4567 card 4111111111111111 but not 1234 or v1.2.3"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    (row,) = scrub_pii(df).collect()
+    assert row.n_email == 1 and row.n_ipv4 == 1
+    assert row.n_phone == 1 and row.n_card == 1 and row.n_pii == 4
+    assert "[EMAIL]" in row.clean_text and "[IP]" in row.clean_text
+    assert "[PHONE]" in row.clean_text and "[CARD]" in row.clean_text
+    assert "bob.smith" not in row.clean_text
+    assert "1234 " in row.clean_text or row.clean_text.endswith("1234")
+    assert "v1.2.3" in row.clean_text  # version strings survive
+
+
+def test_scrub_pii_matches_python_twin(spark):
+    """Spark regex masking == independent python-re replay over the shared
+    deterministic corpus (the q_scrub_pii oracle's implementation)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.make_fixtures import scrub_pii_oracle
+
+    got = {
+        r.doc_id: (r.clean_text, r.n_email, r.n_ipv4, r.n_phone, r.n_card)
+        for r in scrub_pii(gen_pii_docs(spark, 80, seed=7)).collect()
+    }
+    want = {
+        int(r.doc_id): (r.clean_text, r.n_email, r.n_ipv4, r.n_phone, r.n_card)
+        for r in scrub_pii_oracle(80, 7).itertuples()
+    }
+    assert got == want
+    # the generator actually exercises every class
+    assert sum(v[1] for v in got.values()) > 0
+    assert sum(v[2] for v in got.values()) > 0
+    assert sum(v[3] for v in got.values()) > 0
+    assert sum(v[4] for v in got.values()) > 0
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    rows = [(i, ["a", "b"][i % 2]) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    out1 = stratified_sample(df, "g", {"a": 0.5, "b": 0.1}, "k")
+    out2 = stratified_sample(df, "g", {"a": 0.5, "b": 0.1}, "k")
+    got1 = sorted(r.k for r in out1.collect())
+    got2 = sorted(r.k for r in out2.collect())
+    assert got1 == got2  # bit-identical keep set across runs
+    per = {r.g: r.n for r in out1.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert per["a"] == pytest.approx(1000, rel=0.1)
+    assert per["b"] == pytest.approx(200, rel=0.3)
+    # unknown stratum drops by default
+    df2 = spark.createDataFrame([(1, "zz")], "k long, g string")
+    assert stratified_sample(df2, "g", {"a": 1.0}, "k").count() == 0
+    # fraction 1.0 keeps everything
+    assert stratified_sample(df, "g", {"a": 1.0, "b": 1.0}, "k").count() == 4000

@@ -385,6 +385,38 @@ def section_tables_oracle(n_docs: int = 200, seed: int = 42) -> pd.DataFrame:
     return out
 
 
+def scrub_pii_oracle(n_docs: int = 300, seed: int = 42) -> pd.DataFrame:
+    """Independent python-re replay of the PII scrub over the shared
+    deterministic corpus: per class (in spec order), count non-overlapping
+    matches on the so-far-masked text, then mask. Only the rule list (the
+    spec) is shared with the operator; the masking loop is this file's."""
+    import re
+
+    from marie_ai_spark.operators.curation import PII_RULES, gen_pii_rows
+
+    recs = []
+    for doc_id, text in gen_pii_rows(n_docs, seed):
+        masked = text
+        counts = {}
+        for name, pattern, token in PII_RULES:
+            rx = re.compile(pattern)
+            counts[f"n_{name}"] = len(rx.findall(masked))
+            masked = rx.sub(token, masked)
+        recs.append(
+            {
+                "doc_id": doc_id,
+                "clean_text": masked,
+                **counts,
+                "n_pii": sum(counts.values()),
+            }
+        )
+    out = pd.DataFrame(recs)
+    for c in out.columns:
+        if c.startswith("n_"):
+            out[c] = out[c].astype("int32")
+    return out
+
+
 def media_decode_oracle(n_assets: int = 200, seed: int = 42) -> pd.DataFrame:
     """Independent re-parse of the gen_media payload bytes — struct-level
     readers written against the format specs SEPARATELY from
@@ -653,6 +685,9 @@ def main():
     )
     media_decode_oracle(200, 42).to_parquet(
         os.path.join(ROOT, "oracle", "media_decode_a200.parquet"), index=False
+    )
+    scrub_pii_oracle(300, 42).to_parquet(
+        os.path.join(ROOT, "oracle", "scrub_pii_d300.parquet"), index=False
     )
     for f in sorted(os.listdir(os.path.join(ROOT, "oracle"))):
         print("wrote", f)
