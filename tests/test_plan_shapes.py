@@ -99,3 +99,50 @@ def test_no_crossjoin_in_neardup_paths(spark):
         plan = _plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_zero_exchange(spark):
+    """Composition sampling is a pure scan+filter: NO exchange at all, and
+    the stratum filter is evaluated post-scan on pushed-down columns."""
+    from marie_ai_spark.operators.curation import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        stratified_sample(docs, "lang", {"en": 1.0, "de": 0.5}, "doc_id")
+    )
+    assert _count(plan, "Exchange") == 0, plan[:600]
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle side must broadcast (never a shuffle join of
+    corpus-sized inputs, never a cartesian)."""
+    from marie_ai_spark.operators.curation import contaminated_docs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    plan = _plan(contaminated_docs(corpus, bench, n=13))
+    assert _count(plan, "BroadcastHashJoin") >= 1, plan[:600]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_section_tables_no_cartesian(spark):
+    from marie_ai_spark.operators.tables import section_tables
+    from marie_ai_spark.sources.transcripts import (
+        SECTION_START,
+        SECTION_STOP,
+        gen_section_docs_spark,
+    )
+
+    plan = _plan(
+        section_tables(
+            gen_section_docs_spark(spark, 40),
+            f"^{SECTION_START}$",
+            f"^{SECTION_STOP}$",
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
