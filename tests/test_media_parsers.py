@@ -54,6 +54,19 @@ def test_wav_roundtrip(rate, samples):
     )
 
 
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(1, 4096),
+    h=st.integers(1, 4096),
+    frames=st.integers(1, 100000),
+)
+def test_mp4_roundtrip(w, h, frames):
+    r = m.parse_mp4(m.mp4_bytes(w, h, frames))
+    assert (r["width"], r["height"], r["format"]) == (w, h, "mp4")
+    assert r["duration"] == frames and r["timescale"] == 24
+    assert r["brand"] == "isom"
+
+
 def test_sniff_rejects_garbage():
     for b in (b"", b"hello", b"\x89PNGxx", b"RIFFxxxxNOPE"):
         assert m.sniff_format(b) is None

@@ -38,7 +38,9 @@ def test_decode_stub_deterministic(spark, media):
     aud = d1[d1.kind == "audio"]
     assert (aud.format == "wav").all() and (aud.sample_rate == 16000).all()
     assert (aud.mean_value > 0).all()  # real PCM16 decode
-    assert (d1[d1.kind == "video"].format == "fake").all()  # documented seam
+    vid = d1[d1.kind == "video"]
+    assert (vid.format == "mp4").all()  # real ISO BMFF header parse
+    assert (vid.width > 0).all() and (vid.n_frames >= 16).all()
     png = img[img.format == "png"]
     assert (png.mean_value > 0).all()  # real pixel decode
 

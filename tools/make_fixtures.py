@@ -483,6 +483,19 @@ def media_decode_oracle(n_assets: int = 200, seed: int = 42) -> pd.DataFrame:
             nf = len(data) // 2
             vals = struct.unpack(f"<{nf}h", data)
             mean = sum(abs(v) for v in vals) / (nf * 32768.0)
+        elif len(b) >= 12 and b[4:8] == b"ftyp":
+            fmt = "mp4"
+            # independent flat scan for the mvhd/tkhd payloads: boxes are
+            # (size,type) framed, so locate the type tags and read fixed
+            # offsets per the ISO BMFF layout
+            i = b.find(b"mvhd")
+            if i >= 0 and b[i + 4] == 0:
+                _ts, nf = struct.unpack(">II", b[i + 16 : i + 24])
+            j = b.find(b"tkhd")
+            if j >= 0:
+                (sz,) = struct.unpack(">I", b[j - 4 : j])
+                w_fx, h_fx = struct.unpack(">II", b[j - 4 + sz - 8 : j - 4 + sz])
+                w, h = w_fx >> 16, h_fx >> 16
         elif b.startswith(_MAGIC):
             fmt = "fake"
             w, h, nf = struct.unpack("<III", b[10:22])
