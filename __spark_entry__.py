@@ -247,6 +247,42 @@ def q_stratified_sample(spark, sf):
     )
 
 
+def q_curation_pipeline(spark, sf):
+    """Composed curation funnel, one declarative job: deterministic
+    stratified sample -> 13-gram decontamination against a held-out
+    benchmark slice (anti-join the flagged docs) -> exact dedup (keep the
+    min doc_id per normalized fingerprint) -> per-doc token stats. Every
+    stage is individually oracle-checked; this row checks the
+    composition."""
+    from pyspark.sql import Window
+
+    from marie_ai_spark.functions import stable_fingerprint, token_count
+
+    docs = _t(spark, sf, "documents")
+    sampled = curation.stratified_sample(
+        docs, "lang",
+        {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.1},
+        "doc_id",
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = sampled.filter(F.col("doc_id") % 50 != 0)
+    contaminated = curation.contaminated_docs(corpus, bench, n=13).select(
+        "doc_id"
+    ).distinct()
+    clean = corpus.join(contaminated, "doc_id", "left_anti")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        clean.withColumn("fp", stable_fingerprint("text"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return kept.select(
+        "doc_id", "lang", token_count("text").cast("int").alias("n_tokens")
+    )
+
+
 def q_dup_clusters_star(spark, sf):
     """The 100 TB clustering path explicitly: large-star/small-star
     connected components (driver_threshold=None bypasses the union-find
@@ -699,7 +735,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_clusters_star": q_dup_clusters_star,
         "q_winnow": q_winnow,
         "q_quality_score": q_quality_score,
-        "q_fingerprint": q_fingerprint,
         "q_repetition": q_repetition,
         "q_lang_id": q_lang_id,
         "q_training_pipeline": q_training_pipeline,
@@ -709,12 +744,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_scrub_pii": q_scrub_pii,
         "q_stratified_sample": q_stratified_sample,
+        "q_curation_pipeline": q_curation_pipeline,
         # --- custom-operator relational evidence (as-of, range join, rollup)
         "q_asof_signup_before_purchase": q_asof_signup_before_purchase,
         "q_value_range_join": q_value_range_join,
         # ---------------- position 51+: double-green in r1+r2 (on record)
         "q_rollup": q_rollup,
         "q_percentiles": q_percentiles,
+        "q_fingerprint": q_fingerprint,
         "q_token_count": q_token_count,
         "q_lang_profile": q_lang_profile,
         "q01_pricing_summary": q01_pricing_summary,
@@ -1824,5 +1861,64 @@ def oracle_sql() -> dict[str, str]:
               CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
                         WHEN 'fr' THEN 500000 WHEN 'es' THEN 250000
                         WHEN 'zh' THEN 100000 ELSE 0 END
+    """
+    sqls["q_curation_pipeline"] = """
+        WITH sampled AS (
+            SELECT * FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 1000000 <
+                  CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
+                            WHEN 'fr' THEN 500000 WHEN 'es' THEN 250000
+                            WHEN 'zh' THEN 100000 ELSE 0 END
+        ),
+        corpus AS (SELECT * FROM sampled WHERE doc_id % 50 <> 0),
+        ctok AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+            FROM corpus
+        ),
+        btok AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+            FROM documents WHERE doc_id % 50 = 0
+        ),
+        cgram AS (
+            SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(w) >= 13
+                                   THEN [array_to_string(w[i:i+12], ' ')
+                                         for i in range(1, len(w) - 11)]
+                                   ELSE []::VARCHAR[] END) AS gram
+                FROM ctok)
+        ),
+        bgram AS (
+            SELECT DISTINCT gram FROM (
+                SELECT unnest(CASE WHEN len(w) >= 13
+                                   THEN [array_to_string(w[i:i+12], ' ')
+                                         for i in range(1, len(w) - 11)]
+                                   ELSE []::VARCHAR[] END) AS gram
+                FROM btok)
+        ),
+        contaminated AS (
+            SELECT DISTINCT doc_id FROM cgram JOIN bgram USING (gram)
+        ),
+        clean AS (
+            SELECT * FROM corpus
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ),
+        deduped AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                ORDER BY doc_id
+            ) AS rn
+            FROM clean
+        )
+        SELECT doc_id, lang,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END AS INTEGER) AS n_tokens
+        FROM deduped WHERE rn = 1
     """
     return sqls

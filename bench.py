@@ -87,6 +87,7 @@ HEADLINE = [
     "q_decontaminate",
     "q_scrub_pii",
     "q_stratified_sample",
+    "q_curation_pipeline",
 ]
 
 
