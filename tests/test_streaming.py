@@ -172,3 +172,34 @@ def test_streaming_dedup_drops_repeats(spark, tmp_path):
     got_fps = [fp(t) for t in got.text]
     assert sorted(set(got_fps)) == sorted(want_fps)
     assert len(got_fps) == len(set(got_fps))
+
+
+def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
+    """The curation map stages are stateless column transforms, so they
+    run unchanged under Structured Streaming: an AvailableNow pass of
+    scrub_pii over a parquet stream must equal the batch result row for
+    row (the pattern for running corpus hygiene incrementally as new
+    shards land)."""
+    from marie_ai_spark.operators.curation import gen_pii_docs, scrub_pii
+
+    inp = str(tmp_path / "pii_in")
+    gen_pii_docs(spark, 120, seed=3).write.parquet(inp)
+
+    batch = {
+        r.doc_id: (r.clean_text, r.n_pii)
+        for r in scrub_pii(spark.read.parquet(inp)).collect()
+    }
+    src = spark.readStream.schema("doc_id long, text string").parquet(inp)
+    q = (
+        scrub_pii(src)
+        .writeStream.format("memory")
+        .queryName("pii_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.clean_text, r.n_pii)
+        for r in spark.sql("SELECT * FROM pii_stream").collect()
+    }
+    assert got == batch and len(got) == 120
