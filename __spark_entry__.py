@@ -247,6 +247,14 @@ def q_stratified_sample(spark, sf):
     )
 
 
+def q_fluency(spark, sf):
+    """CCNet-style fluency proxy: per-doc coverage of the document's
+    char-trigram occurrences by its language's top-200 corpus profile —
+    the no-model analog of an LM perplexity quality filter. Exact-integer
+    ratio, hash-portable."""
+    return textstats.fluency_scores(_t(spark, sf, "documents"), top_k=200)
+
+
 def q_curation_pipeline(spark, sf):
     """Composed curation funnel, one declarative job: deterministic
     stratified sample -> 13-gram decontamination against a held-out
@@ -734,8 +742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_clusters": q_dup_clusters,
         "q_dup_clusters_star": q_dup_clusters_star,
         "q_winnow": q_winnow,
-        "q_quality_score": q_quality_score,
         "q_repetition": q_repetition,
+        "q_fluency": q_fluency,
         "q_lang_id": q_lang_id,
         "q_training_pipeline": q_training_pipeline,
         "q_embed_topk": q_embed_topk,
@@ -751,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- position 51+: double-green in r1+r2 (on record)
         "q_rollup": q_rollup,
         "q_percentiles": q_percentiles,
+        "q_quality_score": q_quality_score,
         "q_fingerprint": q_fingerprint,
         "q_token_count": q_token_count,
         "q_lang_profile": q_lang_profile,
@@ -1861,6 +1870,44 @@ def oracle_sql() -> dict[str, str]:
               CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
                         WHEN 'fr' THEN 500000 WHEN 'es' THEN 250000
                         WHEN 'zh' THEN 100000 ELSE 0 END
+    """
+    sqls["q_fluency"] = """
+        WITH base AS (
+            SELECT doc_id, lang,
+                   lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, lang, unnest(
+                [substr(t, i, 3) for i in range(1, greatest(len(t) - 2, 0) + 1)]
+            ) AS g
+            FROM base WHERE len(t) >= 3
+        ),
+        prof AS (
+            SELECT lang, g FROM (
+                SELECT lang, g, row_number() OVER (
+                    PARTITION BY lang ORDER BY count(*) DESC, g
+                ) AS rank
+                FROM grams GROUP BY lang, g
+            ) WHERE rank <= 200
+        ),
+        occ AS (
+            SELECT doc_id, lang, g, count(*) AS c
+            FROM grams GROUP BY doc_id, lang, g
+        ),
+        stats AS (
+            SELECT o.doc_id, o.lang,
+                   CAST(sum(o.c) AS BIGINT) AS n_trigrams,
+                   round(sum(CASE WHEN p.g IS NOT NULL THEN o.c ELSE 0 END)
+                         / sum(o.c), 6) AS in_profile_frac
+            FROM occ o LEFT JOIN prof p ON o.lang = p.lang AND o.g = p.g
+            GROUP BY o.doc_id, o.lang
+        )
+        SELECT d.doc_id, d.lang,
+               coalesce(s.n_trigrams, 0) AS n_trigrams,
+               coalesce(s.in_profile_frac, 0.0) AS in_profile_frac
+        FROM documents d
+        LEFT JOIN stats s ON d.doc_id = s.doc_id AND d.lang = s.lang
     """
     sqls["q_curation_pipeline"] = """
         WITH sampled AS (

@@ -88,6 +88,7 @@ HEADLINE = [
     "q_scrub_pii",
     "q_stratified_sample",
     "q_curation_pipeline",
+    "q_fluency",
 ]
 
 

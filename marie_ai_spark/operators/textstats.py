@@ -201,3 +201,72 @@ def lang_id_ngram(documents: DataFrame, top_k: int = 50) -> DataFrame:
             "score",
         )
     )
+
+
+def fluency_scores(documents: DataFrame, top_k: int = 200) -> DataFrame:
+    """CCNet-style fluency proxy, fully relational and hash-portable: the
+    fraction of a document's char-trigram OCCURRENCES covered by its own
+    language's top_k corpus profile. A low coverage marks gibberish /
+    wrong-language / template noise the same way an LM perplexity filter
+    does, without a model — and the score is a ratio of EXACT integers,
+    so round(.,6) hashes identically on every engine (no float-sum order
+    sensitivity; same discipline as repetition_stats).
+
+    Plan shape mirrors lang_id_ngram (the accepted-cost pattern): the
+    profile explode compresses map-side to ~|langs x vocab|; the doc side
+    counts per (doc, trigram) once and joins the broadcast profile.
+
+    Output: (doc_id, lang, n_trigrams bigint, in_profile_frac).
+    """
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    tri = F.expr(
+        "transform(sequence(1, greatest(length(t) - 2, 0)),"
+        " i -> substring(t, i, 3))"
+    )
+    # projection barrier: materialize the normalized text before the
+    # trigram transform (see lang_id_ngram's note)
+    base = documents.select("doc_id", "lang", norm.alias("t")).cache()
+    grams = base.filter(F.length("t") >= 3).withColumn("tri", tri)
+
+    profile = (
+        grams.select("lang", F.explode("tri").alias("g"))
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("g"))
+            ),
+        )
+        .filter(F.col("rank") <= top_k)
+        .select("lang", F.col("g").alias("pg"))
+    )
+    occ = (
+        grams.select("doc_id", "lang", F.explode("tri").alias("g"))
+        .groupBy("doc_id", "lang", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    j = occ.join(
+        F.broadcast(profile),
+        (occ.lang == profile.lang) & (occ.g == profile.pg),
+        "left_outer",
+    ).select(occ.doc_id, occ.lang, occ.c, profile.pg)
+    stats = j.groupBy("doc_id", "lang").agg(
+        F.sum("c").cast("bigint").alias("n_trigrams"),
+        F.round(
+            F.sum(F.when(F.col("pg").isNotNull(), F.col("c")).otherwise(0))
+            / F.sum("c"),
+            6,
+        ).alias("in_profile_frac"),
+    )
+    # short/empty docs (< 3 normalized chars) carry zero trigrams
+    return (
+        documents.select("doc_id", "lang")
+        .join(stats, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_trigrams", F.lit(0)).cast("bigint").alias("n_trigrams"),
+            F.coalesce("in_profile_frac", F.lit(0.0)).alias("in_profile_frac"),
+        )
+    )

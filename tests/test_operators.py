@@ -612,3 +612,21 @@ def test_repetition_stats_handcrafted(spark):
     assert r.top_bigram_frac == round(2 / 5, 6)
     # doc 2: single line, one bigram
     assert out[2].dup_line_frac == 0.0 and out[2].top_bigram_frac == 1.0
+
+
+
+def test_fluency_scores_semantics(spark):
+    """Coverage fraction: docs made only of profile trigrams score exactly
+    1.0, out-of-profile junk scores 0.0, short docs get 0 trigrams. The
+    profile is trained on the corpus itself, so the dominant trigrams are
+    the common docs' ("aba"/"bab" here, with counts far above junk)."""
+    from marie_ai_spark.operators import textstats
+
+    rows = [(i, "ab" * 30, "en") for i in range(20)]   # trigrams aba/bab
+    rows.append((100, "z" * 12, "en"))                  # zzz: rare junk
+    rows.append((101, "ab", "en"))                      # too short
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in textstats.fluency_scores(df, top_k=2).collect()}
+    assert out[0].in_profile_frac == 1.0 and out[0].n_trigrams == 58
+    assert out[100].in_profile_frac == 0.0 and out[100].n_trigrams == 10
+    assert out[101].n_trigrams == 0 and out[101].in_profile_frac == 0.0
