@@ -46,6 +46,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _sf_scale(sf_dir: str) -> float:
+    """Numeric scale factor parsed from the trailing 'sf<float>' path
+    segment (e.g. /root/testdata/sf0.1 -> 0.1). A bare substring test
+    ('0.1' in path) would trip on any path merely containing those
+    characters; unparsable paths fall back to the driver's correctness
+    scale (0.01)."""
+    import re
+
+    m = re.search(r"sf(\d+(?:\.\d+)?)$", sf_dir.rstrip("/"))
+    return float(m.group(1)) if m else 0.01
+
+
+def _n_convs(sf_dir: str) -> int:
+    """Synthetic-transcript corpus size: the bench scale (sf>=0.1) runs 4x
+    the conversations; the driver's correctness scales (0.001/0.01) match
+    the checked-in c100 oracle fixtures exactly."""
+    return 400 if _sf_scale(sf_dir) >= 0.1 else 100
+
+
 # ---------------------------------------------------------------- flagship
 
 
@@ -232,7 +251,7 @@ def q_scrub_pii(spark, sf):
     independent python-re replay fixture."""
     from marie_ai_spark.operators.curation import gen_pii_docs, scrub_pii
 
-    n = 1200 if "0.1" in sf else 300
+    n = 1200 if _sf_scale(sf) >= 0.1 else 300
     return scrub_pii(gen_pii_docs(spark, n, seed=42))
 
 
@@ -345,7 +364,7 @@ def q_training_pipeline(spark, sf):
     replication of every stage (tools/make_fixtures.training_pipeline_oracle)."""
     from marie_ai_spark.plans.training_pipeline import build_training_set
 
-    n_convs = 400 if "0.1" in sf else 100
+    n_convs = _n_convs(sf)
     tr = gen_spark(spark, n_convs, seed=42)
     return build_training_set(tr).select(
         "conv_id", "turn_idx", "chunk_idx", "chunk_len"
@@ -452,7 +471,7 @@ def q_embed_neardup(spark, sf):
 def q_extract_transcripts(spark, sf):
     """The real pipeline on synthetic transcripts (non-SQL-expressible:
     pandas-UDF payload parsing; correctness gate lives in tests/)."""
-    n_convs = 400 if "0.1" in sf else 100
+    n_convs = _n_convs(sf)
     tr = gen_spark(spark, n_convs, seed=42)
     return ordered_extracted(extract_transcripts(tr)).select(
         "conv_id", "turn_idx", "doc_kind", "clean_text", "n_lines"
@@ -462,7 +481,7 @@ def q_extract_transcripts(spark, sf):
 def q_extract_grid(spark, sf):
     """Fixed-grid (TextRenderer) reassembly mode over the pdf_words turns
     (rows-only: grid placement is not SQL-expressible)."""
-    n_convs = 400 if "0.1" in sf else 100
+    n_convs = _n_convs(sf)
     tr = gen_spark(spark, n_convs, seed=42)
     ext = extract_transcripts(tr, pdf_mode="grid")
     from pyspark.sql import functions as _F
@@ -475,7 +494,7 @@ def q_extract_grid(spark, sf):
 def q_conversation_rollup(spark, sf):
     """Salted two-phase per-conversation rollup over the extraction output
     (non-SQL-expressible upstream; rows-only check)."""
-    n_convs = 400 if "0.1" in sf else 100
+    n_convs = _n_convs(sf)
     tr = gen_spark(spark, n_convs, seed=42)
     return conversation_stats(extract_transcripts(tr))
 
@@ -485,7 +504,7 @@ def q_serialize_blobs(spark, sf):
     python twin in tools/make_fixtures.blobs_oracle)."""
     from marie_ai_spark.operators.layout import parse_words, serialize_blobs
 
-    n_convs = 400 if "0.1" in sf else 100
+    n_convs = _n_convs(sf)
     tr = gen_spark(spark, n_convs, seed=42)
     return serialize_blobs(parse_words(tr))
 
@@ -496,7 +515,7 @@ def q_merge_iou(spark, sf):
     from marie_ai_spark.operators.boxes import merge_word_boxes_iou
     from marie_ai_spark.operators.layout import parse_words
 
-    n_convs = 400 if "0.1" in sf else 100
+    n_convs = _n_convs(sf)
     tr = gen_spark(spark, n_convs, seed=42)
     return merge_word_boxes_iou(parse_words(tr), inflate_x=24)
 
@@ -507,7 +526,7 @@ def q_merge_horizontal(spark, sf):
     from marie_ai_spark.operators.boxes import merge_word_boxes_horizontal
     from marie_ai_spark.operators.layout import parse_words
 
-    n_convs = 400 if "0.1" in sf else 100
+    n_convs = _n_convs(sf)
     tr = gen_spark(spark, n_convs, seed=42)
     return merge_word_boxes_horizontal(parse_words(tr), inflate_x=24)
 
@@ -517,7 +536,7 @@ def q_adlib_pages(spark, sf):
     ElementTree serialization (fixture oracle from the ref_ops twin)."""
     from marie_ai_spark.operators.layout import serialize_adlib
 
-    n_convs = 400 if "0.1" in sf else 100
+    n_convs = _n_convs(sf)
     tr = gen_spark(spark, n_convs, seed=42)
     return serialize_adlib(tr)
 
@@ -526,7 +545,7 @@ def q_adlib_summary(spark, sf):
     """S11 summary manifest: per pdf_words turn, the <OCR> page listing."""
     from marie_ai_spark.operators.layout import adlib_summary
 
-    n_convs = 400 if "0.1" in sf else 100
+    n_convs = _n_convs(sf)
     tr = gen_spark(spark, n_convs, seed=42)
     return adlib_summary(tr)
 
@@ -554,7 +573,7 @@ def q_extract_continuation(spark, sf):
     conversation-level equality gate lives in tests/test_continuation.py)."""
     from marie_ai_spark.operators.continuation import extract_with_continuation
 
-    n_convs = 400 if "0.1" in sf else 100
+    n_convs = _n_convs(sf)
     tr = gen_spark(spark, n_convs, seed=42)
     return ordered_extracted(extract_with_continuation(tr)).select(
         "conv_id", "turn_idx", "doc_kind", "clean_text", "n_lines"
@@ -565,7 +584,7 @@ def q_span_regions(spark, sf):
     """Normalized regions side table + per-role rollup (rows-only)."""
     from marie_ai_spark.operators.regions import region_role_counts
 
-    n_convs = 400 if "0.1" in sf else 100
+    n_convs = _n_convs(sf)
     tr = gen_spark(spark, n_convs, seed=42)
     return region_role_counts(extract_transcripts(tr))
 
@@ -575,7 +594,7 @@ def q_markdown_kv(spark, sf):
     re-parses the same transcripts fixture in SQL."""
     from marie_ai_spark.operators.regions import markdown_kv_pairs
 
-    n_convs = 400 if "0.1" in sf else 100
+    n_convs = _n_convs(sf)
     tr = gen_spark(spark, n_convs, seed=42)
     return markdown_kv_pairs(tr)
 
@@ -586,7 +605,7 @@ def q_region_tables(spark, sf):
     oracle re-parses the fixture in pure SQL."""
     from marie_ai_spark.operators.tables import region_table_rows
 
-    n_convs = 400 if "0.1" in sf else 100
+    n_convs = _n_convs(sf)
     tr = gen_spark(spark, n_convs, seed=42)
     return region_table_rows(tr)
 
@@ -596,7 +615,7 @@ def q_region_table_footers(spark, sf):
     regions (flexible TOTAL / empty-leading-cells detection)."""
     from marie_ai_spark.operators.tables import region_table_footers
 
-    n_convs = 400 if "0.1" in sf else 100
+    n_convs = _n_convs(sf)
     tr = gen_spark(spark, n_convs, seed=42)
     return region_table_footers(tr)
 
@@ -614,7 +633,7 @@ def q_section_tables(spark, sf):
         gen_section_docs_spark,
     )
 
-    n_docs = 800 if "0.1" in sf else 200
+    n_docs = 800 if _sf_scale(sf) >= 0.1 else 200
     return section_tables(
         gen_section_docs_spark(spark, n_docs, seed=42),
         f"^{SECTION_START}$",
@@ -627,7 +646,7 @@ def q_region_fields(spark, sf):
     first-match-wins dedup and MONEY/ALPHA/ALPHA_NUMERIC transforms."""
     from marie_ai_spark.operators.fields import region_fields
 
-    n_convs = 400 if "0.1" in sf else 100
+    n_convs = _n_convs(sf)
     tr = gen_spark(spark, n_convs, seed=42)
     return region_fields(tr)
 
@@ -637,7 +656,7 @@ def q_entity_vote(spark, sf):
     response; the most frequent transformed value wins per (conv, field)."""
     from marie_ai_spark.operators.fields import field_entity_votes
 
-    n_convs = 400 if "0.1" in sf else 100
+    n_convs = _n_convs(sf)
     tr = gen_spark(spark, n_convs, seed=42)
     return field_entity_votes(tr)
 
@@ -648,7 +667,7 @@ def q_multiline_match(spark, sf):
     fixture independently."""
     from marie_ai_spark.operators.multiline import multiline_candidates
 
-    n_convs = 400 if "0.1" in sf else 100
+    n_convs = _n_convs(sf)
     tr = gen_spark(spark, n_convs, seed=42)
     return multiline_candidates(tr)
 
@@ -659,7 +678,7 @@ def q_validate_sections(spark, sf):
     equivalence to the literal DFA is property-tested)."""
     from marie_ai_spark.operators.validator import validated_boilerplate_sections
 
-    n_convs = 400 if "0.1" in sf else 100
+    n_convs = _n_convs(sf)
     tr = gen_spark(spark, n_convs, seed=42)
     return validated_boilerplate_sections(tr)
 
@@ -671,7 +690,7 @@ def q_hybrid_annotate(spark, sf):
     full-probe index search)."""
     from marie_ai_spark.operators.hybrid import hybrid_annotate
 
-    n_convs = 400 if "0.1" in sf else 100
+    n_convs = _n_convs(sf)
     tr = gen_spark(spark, n_convs, seed=42)
     return hybrid_annotate(tr)
 
@@ -681,7 +700,7 @@ def q_multiline_blocks(spark, sf):
     the ref_ops python twin's output materialized as fixture parquet."""
     from marie_ai_spark.operators.multiline import multiline_blocks
 
-    n_convs = 400 if "0.1" in sf else 100
+    n_convs = _n_convs(sf)
     tr = gen_spark(spark, n_convs, seed=42)
     return multiline_blocks(tr)
 

@@ -26,6 +26,7 @@ HEADLINE = [
     "q03_top_revenue_orders",
     "q05_region_revenue",
     "q_top3_orders_per_customer",
+    "q_order_priority_count",
     "q_returnflag_vote",
     "q_sessionize",
     "q_asof_signup_before_purchase",
@@ -92,16 +93,22 @@ HEADLINE = [
 ]
 
 
+def cpu_snap():
+    with open("/proc/stat") as f:
+        return list(map(int, f.readline().split()[1:]))
+
+
+def _steal_pct(a, b) -> float:
+    d = [y - z for z, y in zip(a, b)]
+    tot = sum(d) or 1
+    return round(100 * d[7] / tot, 2)
+
+
 def _host_calibration() -> dict:
     """Fixed single-thread work unit + CPU steal over it: lets cross-round
     bench comparisons be normalized for host contention (this VM shares a
     physical box; measured steal has ranged 0.7-11% between windows, and
     identical queries have varied ~2x run-to-run on busy windows)."""
-
-    def cpu_snap():
-        with open("/proc/stat") as f:
-            return list(map(int, f.readline().split()[1:]))
-
     a = cpu_snap()
     t0 = time.perf_counter()
     x = 0
@@ -109,9 +116,7 @@ def _host_calibration() -> dict:
         x += i * i
     cal = round(time.perf_counter() - t0, 3)
     b = cpu_snap()
-    d = [y - z for z, y in zip(a, b)]
-    tot = sum(d) or 1
-    return {"host_cal_sec": cal, "steal_pct": round(100 * d[7] / tot, 2)}
+    return {"host_cal_sec": cal, "steal_pct": _steal_pct(a, b)}
 
 
 def main():
@@ -131,19 +136,25 @@ def main():
 
     qs = entrymod.queries()
     timings = {}
+    query_steal = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
+        snap0 = cpu_snap()
         t0 = time.perf_counter()
         # foreach-noop materializes every row without driver collect
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = round(time.perf_counter() - t0, 3)
+        # per-query steal%: attributes host-weather noise to the exact
+        # queries it hit, making cross-round per-query deltas decidable
+        query_steal[name] = _steal_pct(snap0, cpu_snap())
         timings[name] = dt
         total += dt
         # each query is timed self-contained: operator-internal caches
         # (lang-id profile barrier, training-pipeline staging, cluster
         # labels) must not leak GC pressure into later queries
         spark.catalog.clearCache()
+    cal_end = _host_calibration()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -159,6 +170,9 @@ def main():
                 "queries": timings,
                 "sf": sf,
                 **cal,
+                "host_cal_end_sec": cal_end["host_cal_sec"],
+                "steal_end_pct": cal_end["steal_pct"],
+                "query_steal": query_steal,
             }
         )
     )

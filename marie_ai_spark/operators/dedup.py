@@ -321,21 +321,25 @@ def duplicate_clusters(
     raise ValueError(f"unknown cc algorithm: {algo}")
 
 
-def _edge_sig(e: DataFrame) -> tuple:
-    """Exact-count + hash-sum signature of a distinct edge set (one job).
-    xxhash64 is summed as decimal(38,0) — bigint sums overflow under ANSI."""
-    row = e.select(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
-    ).first()
-    return (row["n"], row["h"])
+def _edges_equal(e2: DataFrame, e: DataFrame, n_prev: int, n_new: int) -> bool:
+    """EXACT distinct-edge-set equality: counts equal AND e2 has no edge
+    outside e (anti-join empty => e2 ⊆ e, plus |e2| == |e| => e2 == e).
+    Replaces a count+hash-sum signature whose (astronomically unlikely but
+    nonzero) collision between successive distinct edge sets would have
+    ended the loop early with wrong labels — the docstring contract is
+    identical labels across algorithms, so the check must be exact."""
+    if n_prev != n_new:
+        return False
+    return e2.join(e, ["a", "b"], "left_anti").limit(1).count() == 0
 
 
-def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
+def _cc_star(edges: DataFrame, max_iter: int, stats: dict | None = None) -> DataFrame:
     """Large-star/small-star alternation. Edges are kept canonical as
     (a=larger, b=smaller); the fixpoint is a star forest whose roots are
     the component minima. Each round is two groupBy+join passes over the
-    edge list — O(log^2 n) rounds total, diameter-independent."""
+    edge list — O(log^2 n) rounds total, diameter-independent. `stats`
+    (optional) receives {"rounds": k} so tests can pin the iteration bound
+    on adversarial graphs (long paths)."""
     e = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -345,8 +349,10 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
         .distinct()
         .localCheckpoint()  # cut the candidate-generation lineage once
     )
-    sig = _edge_sig(e)
+    n_prev = e.count()
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # large-star: around every node u (both directions), attach all
         # LARGER neighbors to m(u) = min(neighborhood(u) + {u})
         nbrs = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
@@ -371,15 +377,18 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
             .distinct()
             .localCheckpoint()  # truncate per-round lineage growth
         )
-        new_sig = _edge_sig(e2)
+        n_new = e2.count()
+        converged = _edges_equal(e2, e, n_prev, n_new)
         e = e2
-        if new_sig == sig:
+        n_prev = n_new
+        if converged:
             break
-        sig = new_sig
     else:
         raise RuntimeError(
             f"duplicate_clusters(star) did not converge in {max_iter} rounds"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     return (
         e.select(F.col("a").alias("doc_id"), F.col("b").alias("cluster_id"))
         .union(

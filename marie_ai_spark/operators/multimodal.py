@@ -179,7 +179,12 @@ def decode_media(media: DataFrame) -> DataFrame:
                 try:
                     d = _decode_one(payload)
                     ok = True
-                except (NotImplementedError, ValueError):
+                # real-world media is hostile: truncated/corrupt payloads
+                # surface as struct.error / zlib.error / IndexError /
+                # KeyError from the container parsers, and an unsupported
+                # codec as NotImplementedError — ALL must degrade to
+                # ok=false per asset, never fail the whole Spark stage
+                except Exception:
                     d = {"format": None, "width": 0, "height": 0,
                          "n_frames": 0, "sample_rate": 0, "mean_value": 0.0}
                     ok = False
