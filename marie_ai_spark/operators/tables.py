@@ -48,16 +48,26 @@ def _marked_table_lines(transcripts: DataFrame) -> DataFrame:
     marked = lines.withColumn(
         "is_t", F.col("s").startswith("|")
     ).withColumn("is_sep", F.col("s").rlike(r"^\|[\s\-:|]+\|?$"))
+    runs = marked.withColumn(
+        "new_t",
+        (
+            F.col("is_t")
+            & ~F.coalesce(F.lag("is_t").over(w), F.lit(False))
+        ).cast("int"),
+    ).withColumn("run_id", F.sum("new_t").over(w)).filter(F.col("is_t"))
+    # a run with ONLY separator lines (e.g. a stray '|---|') materializes
+    # no table: the twin (ref_ops/table_ops.parse_md_tables) numbers only
+    # tables with at least one content line, so such runs must neither
+    # claim a table_idx nor emit a phantom extent — drop them and renumber
+    # the surviving runs densely
+    wr = Window.partitionBy("conv_id", "turn_idx", "run_id")
+    wd = Window.partitionBy("conv_id", "turn_idx").orderBy("run_id")
     return (
-        marked.withColumn(
-            "new_t",
-            (
-                F.col("is_t")
-                & ~F.coalesce(F.lag("is_t").over(w), F.lit(False))
-            ).cast("int"),
+        runs.withColumn(
+            "has_content", F.max((~F.col("is_sep")).cast("int")).over(wr) == 1
         )
-        .withColumn("table_idx", F.sum("new_t").over(w) - 1)
-        .filter(F.col("is_t"))
+        .filter(F.col("has_content"))
+        .withColumn("table_idx", F.dense_rank().over(wd) - 1)
     )
 
 

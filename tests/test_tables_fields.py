@@ -150,6 +150,57 @@ def test_spark_handcrafted_matches(spark):
     assert got == want
 
 
+# a stray separator-only run between two real tables, plus a run that
+# OPENS with separators: neither may claim a table_idx / desync numbering
+ADVERSARIAL_MD = "\n".join(
+    [
+        "| h1 | h2 |",
+        "|----|----|",
+        "| a  | b  |",
+        "",
+        "|---|",          # separator-only run: NOT a table
+        "",
+        "|----|----|",    # run opening with separators, then content
+        "| x1 | x2 |",
+        "|----|----|",
+        "| c  | d  |",
+        "",
+        "|---|---|",      # trailing separator-only run at EOF
+    ]
+)
+
+
+def test_separator_only_runs_do_not_desync(spark):
+    from marie_ai_spark.operators.tables import table_extents
+
+    sdf = spark.createDataFrame(
+        [("c", 0, ADVERSARIAL_MD)], "conv_id string, turn_idx int, text string"
+    )
+    got = {
+        r.table_idx: (
+            list(r.headers),
+            [list(x) for x in r.rows],
+            list(r.footer) if r.footer is not None else None,
+        )
+        for r in region_tables_struct(sdf).collect()
+    }
+    want = {
+        t["table_idx"]: (t["headers"], t["rows"], t["footer"])
+        for t in parse_md_tables(ADVERSARIAL_MD)
+    }
+    assert sorted(want) == [0, 1], "twin should see exactly two tables"
+    assert got == want
+    extents = {
+        r.table_idx: (r.first_line, r.last_line)
+        for r in table_extents(sdf).collect()
+    }
+    want_ext = {
+        t["table_idx"]: (t["first_line"], t["last_line"])
+        for t in parse_md_tables(ADVERSARIAL_MD)
+    }
+    assert extents == want_ext
+
+
 # ------------------------------------------------------ field transforms
 
 
