@@ -3,24 +3,49 @@ marie/extract/annotators/faiss_hybrid_annotator.py): dynamic line n-grams
 -> fuzzy-first match against target labels -> embedding top-k with critical
 boost + softmax -> per-document field dedup.
 
-Spark shape (all JVM, no Python in the hot path):
+Spark shape (corpus hot path JVM-only; Python only on the DISTINCT-norm
+dictionary side, as one vectorized Arrow batch stage):
   - candidates: one posexplode over lines + a flatten(transform(...)) ngram
-    fan-out per line (sizes from token count, :615-625). Tokens are
-    materialized before the ngram transform (projection-collapse trap).
-  - labels: a 4-row broadcast with python-precomputed hashing-trick unit
-    vectors (the deterministic FAISS replacement per SURVEY §8 — with this
-    label count a brute-force cosine IS the full-probe index search).
-  - fuzzy channel: levenshtein ratio vs every normalized label (:552-576);
-    embedding channel gated off when fuzzy-direct fires (:492-543).
-  - softmax over the top-k label scores runs as window aggregations over
-    one candidate partition — a single exchange.
+    fan-out per line (sizes from token count, :615-625). Each raw token is
+    normalized ONCE per line and the n-gram's normalized form is a pure
+    array op (array_join of the token slice) — the previous per-ngram
+    double regexp_replace was ~5x the regex work for the same strings.
+  - fuzzy channel: levenshtein ratio vs every normalized label (:552-576),
+    restricted to distinct norms whose LENGTH can possibly reach the 0.8
+    cutoff against any label (sim = 1 - lev/max <= 1 - |la-lb|/max, so a
+    norm outside [T*min_label_len, max_label_len/T] provably cannot fire
+    fuzzy-direct and skips the crossjoin entirely).
+  - embedding channel: norms the fuzzy channel did not claim, scored by a
+    VECTORIZED pandas UDF (md5 hashing-trick embedding -> cosine vs the
+    tiny label set -> top-k + critical boost + softmax), one Arrow batch
+    at a time with numpy accumulation. The match decision is a pure
+    function of the normalized text, so this runs once per DISTINCT norm
+    (dictionary-matching shape; the corpus has 10x+ more occurrences than
+    distinct n-grams) — the 100 TB cost scales with vocabulary, not rows.
+    The previous all-JVM higher-order-function build of the same numbers
+    ran on the expression interpreter (no codegen) and measured ~3x
+    slower; per the north rule the Arrow batch IS the sanctioned Python
+    surface.
   - dedup: highest_confidence per (conv_id, label) (:654-668) via one
     row_number window, ordering on the ROUNDED score so the python twin
     (ref_ops/hybrid.py) and the distributed run break ties identically.
+  - join-back of the per-norm decisions onto candidate occurrences is an
+    explicit broadcast (decisions ~ matched vocabulary, always tiny next
+    to the candidate table — never shuffle the fan-out).
+
+Lifecycle note: the candidate table is persisted (MEMORY_AND_DISK) because
+two consumers read it (distinct norms, join-back). The persist lives for
+the session unless the caller unpersists; bench.py clears caches between
+queries, and at cluster scale the equivalent barrier is a staging write of
+the candidate table (the training-pipeline pattern).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -48,7 +73,15 @@ def _ngram_candidates(transcripts: DataFrame) -> DataFrame:
     toks = F.when(
         F.trim("line") == "", F.array().cast("array<string>")
     ).otherwise(F.split(F.trim("line"), r"\s+"))
-    with_toks = lines.select("conv_id", "turn_idx", "line_no", toks.alias("w"))
+    # normalize every raw token once (upper, strip punct); tokens carry no
+    # whitespace, so joining the normalized non-empty slice with single
+    # spaces equals normalize_for_match of the joined raw slice
+    nt = F.transform(
+        F.col("w"), lambda t: F.regexp_replace(F.upper(t), r"[^\w\s]+", "")
+    )
+    with_toks = lines.select(
+        "conv_id", "turn_idx", "line_no", toks.alias("w")
+    ).select("conv_id", "turn_idx", "line_no", "w", nt.alias("nt"))
     n = F.size("w")
     max_size = (
         F.when(n <= 3, 2).when(n <= 7, 3).when(n <= 15, 4).otherwise(5)
@@ -64,10 +97,16 @@ def _ngram_candidates(transcripts: DataFrame) -> DataFrame:
                         i.cast("int").alias("tok_start"),
                         j.cast("int").alias("ngram_size"),
                         F.concat_ws(" ", F.slice("w", i + 1, j)).alias("ng"),
+                        F.array_join(
+                            F.filter(
+                                F.slice("nt", i + 1, j), lambda t: t != ""
+                            ),
+                            " ",
+                        ).alias("norm"),
                     ),
                 ),
             ).otherwise(F.array().cast(
-                "array<struct<tok_start:int,ngram_size:int,ng:string>>"
+                "array<struct<tok_start:int,ngram_size:int,ng:string,norm:string>>"
             )),
         )
     )
@@ -80,94 +119,90 @@ def _ngram_candidates(transcripts: DataFrame) -> DataFrame:
         F.col("c.tok_start").alias("tok_start"),
         F.col("c.ngram_size").alias("ngram_size"),
         F.col("c.ng").alias("value"),
+        F.col("c.norm").alias("norm"),
     )
 
 
-def _embed_table(distinct_norms: DataFrame) -> DataFrame:
-    """(norm, cvec): JVM hashing-trick embedding — the exact twin of
-    ref_ops.spans_engine.embed_line (md5 byte0 -> bucket, byte1 -> sign,
-    L2 normalized).
+def _embed_score_udf(label_rows):
+    """Vectorized scorer for the embedding channel: norm string -> winning
+    (label, final-softmax score) or null. Twin-exact arithmetic:
+      - bucket sums are small integers (exact in fp, order-free);
+      - cosine and the softmax total accumulate in INDEX ORDER (np.cumsum
+        is a running sum) matching the twin's sequential sums, so results
+        are bit-identical to ref_ops.hybrid.hybrid_match;
+      - top-k selection ranks by (cos desc, label asc) via a stable
+      argsort over the label-ascending matrix; the winner among the top-k
+      ranks by (raw desc, label asc) — softmax is monotone in raw, so the
+      winner by final IS the winner by raw, incl. exact ties.
+    """
+    lbls = [r[0] for r in label_rows]  # label-ascending order
+    crit = np.array([r[2] for r in label_rows])
+    lmat = np.array([r[3] for r in label_rows], dtype=np.float64)
+    n_lbl = len(lbls)
+    k = min(TOP_K, n_lbl)
+    tok_cache: dict = {}
 
-    Built relationally (explode tokens -> bucket sums -> map_from_entries
-    -> dense 32-dim array) instead of a nested aggregate/zip_with
-    higher-order expression: HOFs run on the expression interpreter and
-    measured ~265us/row; the long form is codegen + one narrow aggregation.
-    Bucket sums are small integers (exact in fp), so accumulation order
-    cannot drift; the final normalize divides in index order like the twin."""
-    toks = distinct_norms.select(
-        "norm",
-        F.explode(F.split(F.trim(F.lower("norm")), r"\s+")).alias("tok"),
-    )
-    md5 = F.md5("tok")
-    contrib = toks.select(
-        "norm",
-        (F.conv(F.substring(md5, 1, 2), 16, 10).cast("int") % _EMBED_DIM).alias(
-            "idx"
-        ),
-        F.when(
-            F.conv(F.substring(md5, 3, 2), 16, 10).cast("int") % 2 == 0, F.lit(1.0)
-        )
-        .otherwise(F.lit(-1.0))
-        .alias("sign"),
-    )
-    sums = contrib.groupBy("norm", "idx").agg(F.sum("sign").alias("val"))
-    maps = sums.groupBy("norm").agg(
-        F.map_from_entries(F.collect_list(F.struct("idx", "val"))).alias("m")
-    )
-    raw = F.transform(
-        F.sequence(F.lit(0), F.lit(_EMBED_DIM - 1)),
-        lambda i: F.coalesce(F.element_at("m", i.cast("int")), F.lit(0.0)),
-    )
-    with_raw = maps.select("norm", raw.alias("raw"))
-    nrm = F.sqrt(
-        F.aggregate(F.col("raw"), F.lit(0.0), lambda a, v: a + v * v)
-    )
-    return with_raw.select(
-        "norm",
-        F.when(nrm > 0, F.transform("raw", lambda v: v / nrm))
-        .otherwise(F.col("raw"))
-        .alias("cvec"),
-    )
+    def _tok(tok):
+        hit = tok_cache.get(tok)
+        if hit is None:
+            import hashlib
 
-
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
-
-
-def _zero_cos_emits_nothing(labels: list[str], critical: list[str]) -> bool:
-    """Twin-exact proof that a candidate with ZERO cosine against every
-    label cannot pass MIN_FINAL_SCORE for THIS label configuration: with
-    all-equal sims the twin ranks labels ascending, boosts criticals, and
-    softmaxes — when the resulting max final is below the gate, any norm
-    sharing no hash bucket with any label provably emits nothing, so the
-    embedding channel may skip it entirely."""
-    import math
-
-    top = sorted(labels)[:TOP_K]
-    if not top:
-        return True
-    raw = [
-        (min(CRITICAL_BOOST, 1.0) if lbl in critical else 0.0)
-        * EMBEDDING_WEIGHT
-        for lbl in top
-    ]
-    mx = max(raw)
-    exps = [math.exp(r - mx) for r in raw]
-    return max(exps) / sum(exps) < MIN_FINAL_SCORE
-
-
-def _label_buckets(label_rows) -> list[int]:
-    """Hash buckets touched by any label token (embed_line's md5 byte0)."""
-    import hashlib
-
-    buckets = set()
-    for _lbl, norm_label, _crit, _vec in label_rows:
-        for tok in norm_label.lower().split():
             h = hashlib.md5(tok.encode("utf-8", "surrogatepass")).digest()
-            buckets.add(h[0] % _EMBED_DIM)
-    return sorted(buckets)
+            hit = (h[0] % _EMBED_DIM, 1.0 if h[1] % 2 == 0 else -1.0)
+            tok_cache[tok] = hit
+        return hit
+
+    def fn(norms: pd.Series) -> pd.DataFrame:
+        m = len(norms)
+        if m == 0 or n_lbl == 0:
+            return pd.DataFrame({"label": [], "final": []})
+        vec = np.zeros((m, _EMBED_DIM), dtype=np.float64)
+        rows, cols, signs = [], [], []
+        for ri, s in enumerate(norms):
+            for tok in s.lower().split():
+                b, sg = _tok(tok)
+                rows.append(ri)
+                cols.append(b)
+                signs.append(sg)
+        if rows:
+            np.add.at(vec, (np.array(rows), np.array(cols)), np.array(signs))
+        # L2 normalize (sum of integer squares is exact, order-free)
+        nrm = np.sqrt((vec * vec).sum(axis=1))
+        nz = nrm > 0
+        vec[nz] = vec[nz] / nrm[nz, None]
+        # cosine per label, accumulated in index order (cumsum = running
+        # sum) to match the twin's sequential zip-sum exactly
+        cos = np.empty((m, n_lbl), dtype=np.float64)
+        for li in range(n_lbl):
+            cos[:, li] = np.cumsum(vec * lmat[li], axis=1)[:, -1]
+        # top-k by (cos desc, label asc): stable sort keeps the
+        # label-ascending base order on ties
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :k]
+        top_cos = np.take_along_axis(cos, order, axis=1)
+        top_crit = crit[order]
+        raw = np.where(
+            top_crit, np.minimum(top_cos + CRITICAL_BOOST, 1.0), top_cos
+        ) * EMBEDDING_WEIGHT
+        mx = raw.max(axis=1)
+        exps = np.exp(raw - mx[:, None])
+        tot = np.cumsum(exps, axis=1)[:, -1]  # rank-order running sum
+        finals = exps / tot[:, None]
+        # winner by (raw desc, label asc) — NOT by rank position: a
+        # boosted lower-cos critical can tie a higher-cos label, and
+        # the twin breaks that tie on label alone
+        wkeys = np.lexsort((order, -raw), axis=1)[:, 0]
+        ar = np.arange(m)
+        win_final = finals[ar, wkeys]
+        win_lbl = np.array(lbls, dtype=object)[order[ar, wkeys]]
+        ok = win_final >= MIN_FINAL_SCORE
+        return pd.DataFrame(
+            {
+                "label": np.where(ok, win_lbl, None),
+                "final": np.where(ok, win_final, np.nan),
+            }
+        )
+
+    return F.pandas_udf(fn, "struct<label:string,final:double>")
 
 
 def hybrid_annotate(
@@ -192,51 +227,44 @@ def hybrid_annotate(
         for lbl in sorted(labels)
     ]
     label_df = spark.createDataFrame(
-        label_rows,
-        "label string, norm_label string, is_critical boolean, lvec array<double>",
+        [(r[0], r[1]) for r in label_rows], "label string, norm_label string"
     )
 
-    cands = _ngram_candidates(transcripts)
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.upper("value"), r"[^\w\s]+", ""), r"\s+", " "
-        )
-    )
-    # `normed` feeds both the distinct-norm scoring branch and the
-    # join-back. A cache barrier here is MEASURED to pay for itself
-    # (10.4s -> ~4.5s at sf0.1) now that the fuzzy channel is decoupled:
-    # without it the candidate fan-out (and the upstream source subtree)
-    # runs once per consumer. MEMORY_AND_DISK spills under pressure; at
-    # cluster scale the equivalent barrier is a staging write of the
-    # candidate table, the same pattern as the training pipeline.
+    # see module docstring for the persist lifecycle
     normed = (
-        cands.select("*", norm.alias("norm")).filter(F.col("norm") != "").cache()
+        _ngram_candidates(transcripts)
+        .filter(F.col("norm") != "")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # The match decision is a pure function of the NORMALIZED text, so score
     # each distinct norm once and join the decision back — the corpus has
     # orders of magnitude more candidate occurrences than distinct n-grams
-    # (dictionary-matching shape; measured 10x+ at sf0.1). Higher-order
-    # expressions (the hashing embedding) are interpreter-bound, so pruning
-    # their input set matters more than codegen tweaks.
-    distinct_norms = normed.select("norm").distinct()
+    # (dictionary-matching shape; measured 10x+ at sf0.1).
+    dn = normed.select("norm").distinct()
 
-    # --- fuzzy channel: needs NO embeddings — a tiny broadcast crossjoin
-    # and one aggregation decide fuzzy-direct per norm.
-    # length gate: sim = 1 - lev/max <= 1 - |len_a - len_b|/max, so a pair
-    # whose length gap alone puts it under FUZZY_THRESHOLD can never fire
-    # the fuzzy-direct branch — skip the O(len^2) levenshtein for it and
-    # pin its score to 0.0 (output-equivalent: sub-threshold fuzzy values
-    # are discarded wholesale downstream)
+    # --- fuzzy channel. Length gate, twice:
+    # (1) plan-time: sim = 1 - lev/max <= 1 - |la-lb|/max, so ONLY norms
+    #     with len in [T*min_label_len, max_label_len/T] can reach the
+    #     threshold against ANY label — the rest skip the crossjoin;
+    # (2) per-pair: within the window, a pair whose length gap alone puts
+    #     it under FUZZY_THRESHOLD skips the O(len^2) levenshtein and pins
+    #     its score to 0.0 (output-equivalent: sub-threshold fuzzy values
+    #     are discarded wholesale downstream).
+    lens = [len(r[1]) for r in label_rows] or [0]
+    lo, hi = FUZZY_THRESHOLD * min(lens), max(lens) / FUZZY_THRESHOLD
+    ln = F.length("norm")
+    in_win = dn.filter((ln >= lo) & (ln <= hi))
+    out_win = dn.filter((ln < lo) | (ln > hi))
     mx = F.greatest(F.length("norm"), F.length("norm_label"), F.lit(1))
     gap = F.abs(F.length("norm") - F.length("norm_label"))
     fuzzy = F.when(
         gap <= (1.0 - FUZZY_THRESHOLD) * mx,
         F.lit(1.0) - F.levenshtein("norm", "norm_label") / mx,
     ).otherwise(F.lit(0.0))
-    fz = distinct_norms.crossJoin(
-        F.broadcast(label_df.select("label", "norm_label"))
-    ).select("norm", "label", fuzzy.alias("fuzzy"))
+    fz = in_win.crossJoin(F.broadcast(label_df)).select(
+        "norm", "label", fuzzy.alias("fuzzy")
+    )
     # winner per norm via min(struct(-fuzzy, label)): highest fuzzy, then
     # lexicographically smallest label — an aggregation, not a window
     f_agg = fz.groupBy("norm").agg(
@@ -252,67 +280,29 @@ def hybrid_annotate(
         F.round(-F.col("fw.nf"), 6).alias("score"),
     )
 
-    # --- embedding channel: only norms the fuzzy channel did not claim,
-    # prefiltered to those sharing at least one hash bucket with a label
-    # token. A norm with zero bucket overlap has cosine EXACTLY 0 against
-    # every label, and _zero_cos_emits_nothing proves the softmax gate
-    # rejects such a candidate for this label set — so the prune is
-    # output-equivalent, not approximate. (Bucket collisions only ever KEEP
-    # extra norms.) This skips the interpreter-bound embedding build for
-    # the vast majority of n-grams.
-    emb_norms = f_agg.filter(F.col("f_best") < FUZZY_THRESHOLD).select("norm")
-    if _zero_cos_emits_nothing(labels, critical):
-        buckets = _label_buckets(label_rows)
-        emb_norms = (
-            emb_norms.select(
-                "norm",
-                F.explode(F.split(F.trim(F.lower("norm")), r"\s+")).alias("tok"),
-            )
-            .select(
-                "norm",
-                (F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10).cast("int")
-                 % _EMBED_DIM).alias("idx"),
-            )
-            .filter(F.col("idx").isin(buckets))
-            .select("norm")
-            .distinct()
-        )
-    embedded = _embed_table(emb_norms)
-    cos = _dot(F.col("cvec"), F.col("lvec"))
-    scored = embedded.crossJoin(F.broadcast(label_df)).select(
-        "*", cos.alias("cos")
+    # --- embedding channel: norms the fuzzy channel did not claim (the
+    # sub-threshold window norms plus everything outside the window),
+    # scored by the vectorized Arrow stage
+    emb_norms = (
+        f_agg.filter(F.col("f_best") < FUZZY_THRESHOLD)
+        .select("norm")
+        .unionByName(out_win)
     )
-    we = Window.partitionBy("norm").orderBy(F.desc("cos"), F.asc("label"))
-    emb = scored.select("*", F.row_number().over(we).alias("e_rn")).filter(
-        F.col("e_rn") <= TOP_K
-    )
-    boosted = F.when(
-        F.col("is_critical"), F.least(F.col("cos") + CRITICAL_BOOST, F.lit(1.0))
-    ).otherwise(F.col("cos"))
-    emb = emb.select("*", (boosted * EMBEDDING_WEIGHT).alias("raw"))
-    # softmax over the norm's top-k via window aggregates (one exchange)
-    wk = Window.partitionBy("norm")
-    emb = emb.select(
-        "*", F.max("raw").over(wk).alias("mx")
-    ).select(
-        "*", (F.exp(F.col("raw") - F.col("mx"))).alias("ex")
-    ).select(
-        "*", (F.col("ex") / F.sum("ex").over(wk)).alias("final")
-    )
-    wbest = Window.partitionBy("norm").orderBy(F.desc("final"), F.asc("label"))
+    d = _embed_score_udf(label_rows)(F.col("norm"))
     emb_best = (
-        emb.withColumn("b_rn", F.row_number().over(wbest))
-        .filter((F.col("b_rn") == 1) & (F.col("final") >= MIN_FINAL_SCORE))
+        emb_norms.select("norm", d.alias("d"))
+        .filter(F.col("d.label").isNotNull())
         .select(
             "norm",
-            "label",
+            F.col("d.label").alias("label"),
             F.lit("embedding-softmax").alias("strategy"),
-            F.round("final", 6).alias("score"),
+            F.round("d.final", 6).alias("score"),
         )
     )
 
     decisions = fuzzy_direct.unionByName(emb_best)
-    out = normed.join(decisions, "norm").select(
+    # decisions ~ matched vocabulary (tiny); NEVER shuffle the fan-out
+    out = normed.join(F.broadcast(decisions), "norm").select(
         *_CAND_KEY, "value", "label", "strategy", "score"
     )
     if not dedup:
