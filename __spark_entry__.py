@@ -358,6 +358,25 @@ def q_lang_id(spark, sf):
     return textstats.lang_id_ngram(_t(spark, sf, "documents"), top_k=50)
 
 
+def q_lang_id_pretrained(spark, sf):
+    """The 100-TB shape of language ID: train-once profile (model state)
+    + classify-only apply — the classify plan performs ZERO profile
+    aggregation (plan-gated). Output identical to q_lang_id, so it shares
+    that oracle."""
+    docs = _t(spark, sf, "documents")
+    profile = textstats.lang_profile_table(docs, top_k=50)
+    return textstats.lang_id_classify(docs, profile, top_k=50)
+
+
+def q_fluency_pretrained(spark, sf):
+    """Train/apply split of the CCNet-style fluency proxy: pretrained
+    (lang, trigram) profile + aggregation-free classify. Output identical
+    to q_fluency, so it shares that oracle."""
+    docs = _t(spark, sf, "documents")
+    profile = textstats.fluency_profile_table(docs, top_k=200)
+    return textstats.fluency_classify(docs, profile)
+
+
 def q_training_pipeline(spark, sf):
     """Composed training-data pipeline (extract -> quality -> exact+near
     dedup -> tokenize -> chunk); oracle is a fully independent python
@@ -560,11 +579,37 @@ def q_media_decode(spark, sf):
     return decode_media(gen_media(spark, n_assets=200, seed=42))
 
 
-def q_media_frames(spark, sf):
-    """Video frame-sampling fan-out (JVM-side sequence+posexplode)."""
-    from marie_ai_spark.operators.multimodal import gen_media, sample_frames
+def q_faithfulness(spark, sf):
+    """Deterministic faithfulness evaluation of the extraction output
+    against its source turns (marie/evaluation/faithfulness.py analog):
+    marker-based passing + token-support confidence. Oracle re-derives
+    the scores in SQL from the transcripts fixture x the tier-3
+    extraction fixture."""
+    from marie_ai_spark.operators.evaluate import faithfulness_scores
 
-    return sample_frames(gen_media(spark, n_assets=200, seed=42), every_k=8)
+    tr = gen_spark(spark, _n_convs(sf), seed=42)
+    return faithfulness_scores(tr, extract_transcripts(tr))
+
+
+def q_media_frames(spark, sf):
+    """Video frame sampling, now REAL end-to-end: the JVM-side index
+    fan-out (sequence+posexplode over meta.n_frames) joined with per-frame
+    payloads sliced out of mdat via the ISO BMFF sample tables
+    (stsz/stco) in an Arrow-batched map. Oracle: an independent flat-scan
+    re-parse fixture (tools/make_fixtures.media_frames_oracle)."""
+    from marie_ai_spark.operators.multimodal import (
+        extract_frames,
+        gen_media,
+        sample_frames,
+    )
+
+    media = gen_media(spark, n_assets=200, seed=42)
+    sampled = sample_frames(media, every_k=8)
+    stats = extract_frames(media)
+    return F.broadcast(sampled).join(stats, ["asset_id", "frame_idx"]).select(
+        "asset_id", "n_frames", "sample_pos", "frame_idx",
+        "frame_size", "mean_byte", "frame_crc",
+    )
 
 
 def q_extract_continuation(spark, sf):
@@ -734,10 +779,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multiline_blocks": q_multiline_blocks,
         "q_validate_sections": q_validate_sections,
         "q_serialize_blobs": q_serialize_blobs,
+        # --- new or materially changed in round 4: real JPEG entropy +
+        # MP4 sample-table decode (fixture regenerated), real per-frame
+        # extraction with its first hash oracle, train/apply profile
+        # splits, faithfulness evaluator
+        "q_media_decode": q_media_decode,
+        "q_media_frames": q_media_frames,
+        "q_lang_id_pretrained": q_lang_id_pretrained,
+        "q_fluency_pretrained": q_fluency_pretrained,
+        "q_faithfulness": q_faithfulness,
         # --- new in round 3
         "q_section_tables": q_section_tables,
         "q_classify_vote_diff": q_classify_vote_diff,
-        "q_media_decode": q_media_decode,
         # --- extraction / E6 / voting operator evidence
         "q_extract_transcripts": q_extract_transcripts,
         "q_extract_grid": q_extract_grid,
@@ -748,10 +801,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_region_fields": q_region_fields,
         "q_entity_vote": q_entity_vote,
         "q_multiline_match": q_multiline_match,
-        "q_returnflag_vote": q_returnflag_vote,
-        "q_classify_vote": q_classify_vote,
-        "q_annotate_regex": q_annotate_regex,
-        "q_fuzzy_match": q_fuzzy_match,
         # --- LLM-data-pipeline operators
         "q_dedup_exact": q_dedup_exact,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -775,7 +824,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- custom-operator relational evidence (as-of, range join, rollup)
         "q_asof_signup_before_purchase": q_asof_signup_before_purchase,
         "q_value_range_join": q_value_range_join,
-        # ---------------- position 51+: double-green in r1+r2 (on record)
+        # ---------------- position 51+: multi-round driver-green tail
+        # (q_returnflag_vote/q_classify_vote/q_annotate_regex/q_fuzzy_match
+        # are green in r1+r2+r3 and unchanged in round 4 — rotated out to
+        # make window room for the round-4 queries above)
+        "q_returnflag_vote": q_returnflag_vote,
+        "q_classify_vote": q_classify_vote,
+        "q_annotate_regex": q_annotate_regex,
+        "q_fuzzy_match": q_fuzzy_match,
         "q_rollup": q_rollup,
         "q_percentiles": q_percentiles,
         "q_quality_score": q_quality_score,
@@ -793,7 +849,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_monthly_volume": q_monthly_volume,
         "q_cheapest_supplier": q_cheapest_supplier,
         "q_sql_nation_revenue": q_sql_nation_revenue,
-        "q_media_frames": q_media_frames,
     }
 
 
@@ -1559,6 +1614,12 @@ def oracle_sql() -> dict[str, str]:
                    sample_rate, mean_value, ok
             FROM read_parquet('/root/repo/fixtures/oracle/media_decode_a200.parquet')
         """,
+        # independent flat-scan sample-table re-parse + sampling arithmetic
+        "q_media_frames": """
+            SELECT asset_id, n_frames, sample_pos, frame_idx,
+                   frame_size, mean_byte, frame_crc
+            FROM read_parquet('/root/repo/fixtures/oracle/media_frames_a200.parquet')
+        """,
         "q_region_fields": f"""
             WITH {_FIXTURE_LINES_CTE},
             kvm AS (
@@ -1986,5 +2047,47 @@ def oracle_sql() -> dict[str, str]:
                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                     END AS INTEGER) AS n_tokens
         FROM deduped WHERE rn = 1
+    """
+    # the pretrained train/apply splits compute the same answers as their
+    # fused forms — same oracles, independently re-derived in SQL
+    sqls["q_lang_id_pretrained"] = sqls["q_lang_id"]
+    sqls["q_fluency_pretrained"] = sqls["q_fluency"]
+    # faithfulness: SQL re-derivation from the transcripts fixture x the
+    # tier-3 extraction fixture (marker check + token-support ratio of
+    # exact integers)
+    sqls["q_faithfulness"] = """
+        WITH tr AS (
+            SELECT conv_id, turn_idx, text
+            FROM read_parquet('/root/repo/fixtures/transcripts_c100_s42.parquet')
+        ),
+        ex AS (
+            SELECT conv_id, turn_idx, clean_text
+            FROM read_parquet('/root/repo/fixtures/oracle/extract_transcripts_c100.parquet')
+        ),
+        tt AS (
+            SELECT conv_id, turn_idx,
+                   list_distinct(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> t <> '')) AS ctx
+            FROM tr
+        ),
+        rt AS (
+            SELECT conv_id, turn_idx, clean_text,
+                   list_distinct(list_filter(
+                       regexp_split_to_array(lower(trim(clean_text)), '\\s+'),
+                       t -> t <> '')) AS resp
+            FROM ex
+        )
+        SELECT r.conv_id, r.turn_idx,
+               NOT contains(r.clean_text, 'Inference failed') AS passing,
+               CAST(CASE WHEN contains(r.clean_text, 'Inference failed')
+                         THEN 0.0 ELSE 1.0 END AS DOUBLE) AS score,
+               CAST(len(resp) AS BIGINT) AS n_resp_tokens,
+               round(CASE WHEN len(resp) > 0
+                          THEN CAST(len(list_intersect(resp, ctx)) AS DOUBLE)
+                               / len(resp)
+                          ELSE 0.0 END, 6) AS support_frac
+        FROM rt r JOIN tt t
+          ON r.conv_id = t.conv_id AND r.turn_idx = t.turn_idx
     """
     return sqls

@@ -45,6 +45,7 @@ HEADLINE = [
     "q_repetition",
     "q_lang_profile",
     "q_lang_id",
+    "q_lang_id_pretrained",
     "q_embed_topk",
     "q_embed_ivf_topk",
     "q_anti_join",
@@ -90,6 +91,8 @@ HEADLINE = [
     "q_stratified_sample",
     "q_curation_pipeline",
     "q_fluency",
+    "q_fluency_pretrained",
+    "q_faithfulness",
 ]
 
 

@@ -72,7 +72,11 @@ def gen_media_rows(n_assets: int = 100, seed: int = 42) -> list:
             if fmt == "png":
                 payload = m.png_bytes(w, h, _pixels(aid, w * h))
             elif fmt == "jpeg":
-                payload = m.jpeg_bytes(w, h)
+                # real entropy-coded baseline grayscale scan; encoded at
+                # quarter scale to keep the pure-python FDCT cheap (the
+                # decode path is identical at any size)
+                w, h = w // 4, h // 4
+                payload = m.jpeg_bytes(w, h, _pixels(aid, w * h))
             else:
                 payload = m.gif_bytes(w, h)
             mime = f"image/{fmt}"
@@ -85,10 +89,15 @@ def gen_media_rows(n_assets: int = 100, seed: int = 42) -> list:
             payload = m.wav_bytes(16000, samples)
             mime = "audio/wav"
         else:
-            # real ISO BMFF header boxes (ftyp+moov+mvhd+tkhd); encoded at
-            # one duration unit per frame so the parsed mvhd duration IS
-            # the frame count. Frame pixel decode remains the codec seam.
-            payload = m.mp4_bytes(w, h, frames)
+            # real ISO BMFF file: ftyp+moov(mvhd+tkhd+mdia>stbl) + mdat —
+            # one duration unit per frame so mvhd duration == frame count,
+            # plus REAL stsz/stco sample tables over 64-byte deterministic
+            # frame payloads in mdat (per-frame extraction reads these).
+            # Only real-codec bitstream decode (h264 etc.) stays external.
+            fr = [
+                _pixels(f"{aid}:frame:{k}", 64) for k in range(frames)
+            ]
+            payload = m.mp4_bytes(w, h, frames, frames=fr)
             mime = "video/mp4"
         rows.append(
             (
@@ -125,8 +134,12 @@ def _decode_one(payload) -> dict:
                 "n_frames": 1, "sample_rate": 0, "mean_value": r["mean_pixel"]}
     if fmt == "jpeg":
         r = m.parse_jpeg(b)
+        # mean_pixel is the REAL decoded-scan statistic for baseline
+        # grayscale streams (Huffman + dequant + IDCT); 0.0 for the
+        # progressive/multi-component seam
         return {"format": "jpeg", "width": r["width"], "height": r["height"],
-                "n_frames": 1, "sample_rate": 0, "mean_value": 0.0}
+                "n_frames": 1, "sample_rate": 0,
+                "mean_value": r["mean_pixel"]}
     if fmt == "gif":
         r = m.parse_gif(b)
         return {"format": "gif", "width": r["width"], "height": r["height"],
@@ -138,12 +151,22 @@ def _decode_one(payload) -> dict:
                 "mean_value": r["mean_amplitude"]}
     if fmt == "mp4":
         r = m.parse_mp4(b)
-        # synthetic corpus encodes 1 duration unit per frame; for real
-        # files duration is in timescale units (duration_sec available) —
-        # per-frame pixel decode still needs a real codec
+        # frame count from the REAL sample table when present (stsz),
+        # falling back to mvhd duration (1 unit/frame in this corpus);
+        # mean_value = mean byte over the mdat frame payloads. Real-codec
+        # bitstream decode (h264 etc.) remains the external seam.
+        n = r["n_samples"] if r["n_samples"] else r["duration"]
+        mean = 0.0
+        if r["n_samples"]:
+            total = sz = 0
+            off = r["chunk_offset"]
+            for s in r["sample_sizes"]:
+                total += sum(b[off : off + s])
+                sz += s
+                off += s
+            mean = total / (sz * 255.0) if sz else 0.0
         return {"format": "mp4", "width": r["width"], "height": r["height"],
-                "n_frames": r["duration"], "sample_rate": 0,
-                "mean_value": 0.0}
+                "n_frames": n, "sample_rate": 0, "mean_value": mean}
     if b.startswith(_MAGIC):
         off = len(_MAGIC)
         width, height, n_frames = _struct.unpack("<III", b[off : off + 12])
@@ -235,6 +258,54 @@ def media_embeddings(media: DataFrame) -> DataFrame:
     return media.select("asset_id", "payload").mapInPandas(
         fn, schema="asset_id string, embedding array<float>"
     )
+
+
+FRAME_SCHEMA = (
+    "asset_id string, frame_idx int, frame_size int, mean_byte double, "
+    "frame_crc bigint"
+)
+
+
+def extract_frames(media: DataFrame) -> DataFrame:
+    """REAL per-frame extraction for video assets: an Arrow-batched map
+    that reads the ISO BMFF sample tables (stsz sizes + stco offset) and
+    slices each frame payload out of mdat, emitting per-frame stats
+    (size, mean byte, crc32). The h264-style bitstream decode of real
+    codecs would replace only the per-frame stat computation; the sample
+    table walk and the (asset_id, frame_idx) fan-out shape are the
+    production contract. Reference analog: the frame-sampling GPU stage
+    (SURVEY.md §2.8; DCTDecode seam marie/utils/docs.py:53-75)."""
+    import zlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from marie_ai_spark.ref_ops import media as m
+
+        for pdf in batches:
+            out = {"asset_id": [], "frame_idx": [], "frame_size": [],
+                   "mean_byte": [], "frame_crc": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    frames = m.mp4_frames(b)
+                except Exception:
+                    continue  # non-BMFF payloads contribute no frames
+                for idx, fb in enumerate(frames):
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(idx)
+                    out["frame_size"].append(len(fb))
+                    out["mean_byte"].append(
+                        round(sum(fb) / (len(fb) * 255.0), 6) if fb else 0.0
+                    )
+                    out["frame_crc"].append(zlib.crc32(fb))
+            res = pd.DataFrame(out)
+            res["frame_idx"] = res["frame_idx"].astype("int32")
+            res["frame_size"] = res["frame_size"].astype("int32")
+            res["frame_crc"] = res["frame_crc"].astype("int64")
+            yield res
+
+    return media.filter(F.col("kind") == "video").select(
+        "asset_id", "payload"
+    ).mapInPandas(fn, schema=FRAME_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_k: int = 8) -> DataFrame:

@@ -128,45 +128,28 @@ def shingles_of_tokens_n2(wcol):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def lang_id_ngram(documents: DataFrame, top_k: int = 50) -> DataFrame:
-    """Language identification by character-trigram profiles, entirely in
-    relational algebra (no UDF, no model):
-
-      train:    per language, the top_k most frequent char trigrams
-                (rank by count desc, trigram asc — total order)
-      classify: each document's DISTINCT trigrams join the profile table
-                (tiny -> broadcast); score(lang) = sum(top_k + 1 - rank);
-                prediction = argmax score (tie-break lang asc)
-
-    On real multilingual text this is the classic n-gram LID heuristic; on
-    the synthetic corpus (shared vocabulary across langs) it demonstrates
-    the mechanics and scores near chance by construction.
-    """
-    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
-    tri = F.expr(
+def _tri():
+    """Char-trigram transform over the normalized text column `t` (expr is
+    built lazily — F.expr needs an active SparkContext)."""
+    return F.expr(
         "transform(sequence(1, greatest(length(t) - 2, 0)),"
         " i -> substring(t, i, 3))"
     )
-    # materialize the normalized text BEFORE the trigram transform:
-    # projection collapse would otherwise inline the regexp_replace
-    # normalization into EVERY substring() of the transform (O(len^2)
-    # re-normalization per doc); the cached relation is the barrier, and
-    # the frame is consumed twice (profile + classification) anyway.
-    #
-    # NOTE (round 2): deriving both sides from a per-(doc, trigram) count
-    # relation was tried and REVERTED — it replaces a narrow array_distinct
-    # with a ~n_docs*n_distinct_trigrams-group shuffle that map-side
-    # combine cannot compress (measured 3x slower at sf0.1). The profile's
-    # explode->groupBy(lang, g) compresses map-side to ~|vocab| rows; the
-    # classification side's array_distinct is shuffle-free.
-    base = (
-        documents.select("doc_id", F.col("lang"), norm.alias("t"))
-        .filter(F.length("t") >= 3)
-        .cache()
-    )
-    grams = base.withColumn("tri", tri)
 
-    profile = (
+
+def _norm_docs(documents: DataFrame) -> DataFrame:
+    """(doc_id, lang, t): whitespace-collapsed lowercase text, >= 3 chars."""
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return documents.select("doc_id", F.col("lang"), norm.alias("t")).filter(
+        F.length("t") >= 3
+    )
+
+
+def _lang_profile(grams: DataFrame, top_k: int) -> DataFrame:
+    """(p_lang, g, rank): the top_k trigrams per language — the TRAINED
+    MODEL STATE. At 100 TB this is computed once and persisted; classify
+    jobs consume the stored table (see lang_profile_table)."""
+    return (
         grams.select("lang", F.explode("tri").alias("g"))
         .groupBy("lang", "g")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -180,6 +163,12 @@ def lang_id_ngram(documents: DataFrame, top_k: int = 50) -> DataFrame:
         .select(F.col("lang").alias("p_lang"), "g", "rank")
     )
 
+
+def _lang_classify(grams: DataFrame, profile: DataFrame, top_k: int) -> DataFrame:
+    """Classification against a given profile table: ZERO profile
+    aggregation in this plan (tests/test_plan_shapes.py pins it) — the
+    doc side's array_distinct is shuffle-free and the profile join is an
+    explicit broadcast."""
     doc_grams = grams.select(
         "doc_id", "lang", F.explode(F.array_distinct("tri")).alias("g")
     )
@@ -203,6 +192,49 @@ def lang_id_ngram(documents: DataFrame, top_k: int = 50) -> DataFrame:
     )
 
 
+def lang_profile_table(documents: DataFrame, top_k: int = 50) -> DataFrame:
+    """TRAIN once: the persistable language-trigram profile (p_lang, g,
+    rank). The 100-TB shape is write-this-table-then-classify; the fused
+    lang_id_ngram exists for oracle parity and small corpora."""
+    return _lang_profile(_norm_docs(documents).withColumn("tri", _tri()), top_k)
+
+
+def lang_id_classify(
+    documents: DataFrame, profile: DataFrame, top_k: int = 50
+) -> DataFrame:
+    """APPLY only: classify documents against a pretrained profile table —
+    no profile aggregation anywhere in this plan."""
+    return _lang_classify(
+        _norm_docs(documents).withColumn("tri", _tri()), profile, top_k
+    )
+
+
+def lang_id_ngram(documents: DataFrame, top_k: int = 50) -> DataFrame:
+    """Language identification by character-trigram profiles, entirely in
+    relational algebra (no UDF, no model): train (top_k trigrams per
+    language by count desc, trigram asc) fused with classify (distinct
+    doc trigrams join the broadcast profile; score = sum(top_k + 1 -
+    rank); argmax with lang-asc tie-break).
+
+    On real multilingual text this is the classic n-gram LID heuristic; on
+    the synthetic corpus (shared vocabulary across langs) it demonstrates
+    the mechanics and scores near chance by construction.
+
+    The normalized-text relation is cached: it feeds BOTH the profile and
+    the classification branches, and the cache doubles as the projection
+    barrier (collapse would inline the regexp normalization into every
+    substring() of the trigram transform — O(len^2) re-normalization per
+    doc). Lifecycle is caller-owned (bench clears caches between queries;
+    a long-lived session should unpersist after consuming). NOTE (round
+    2): deriving both sides from a per-(doc, trigram) count relation was
+    tried and REVERTED — measured 3x slower at sf0.1 (the shared shuffle
+    compresses worse than the narrow array_distinct).
+    """
+    base = _norm_docs(documents).cache()
+    grams = base.withColumn("tri", _tri())
+    return _lang_classify(grams, _lang_profile(grams, top_k), top_k)
+
+
 def fluency_scores(documents: DataFrame, top_k: int = 200) -> DataFrame:
     """CCNet-style fluency proxy, fully relational and hash-portable: the
     fraction of a document's char-trigram OCCURRENCES covered by its own
@@ -218,17 +250,25 @@ def fluency_scores(documents: DataFrame, top_k: int = 200) -> DataFrame:
 
     Output: (doc_id, lang, n_trigrams bigint, in_profile_frac).
     """
-    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
-    tri = F.expr(
-        "transform(sequence(1, greatest(length(t) - 2, 0)),"
-        " i -> substring(t, i, 3))"
+    # projection barrier + two consumers: see lang_id_ngram's lifecycle note
+    base = _norm_docs(documents).cache()
+    grams = base.withColumn("tri", _tri())
+    return _fluency_classify(
+        documents, grams, fluency_profile_from(grams, top_k)
     )
-    # projection barrier: materialize the normalized text before the
-    # trigram transform (see lang_id_ngram's note)
-    base = documents.select("doc_id", "lang", norm.alias("t")).cache()
-    grams = base.filter(F.length("t") >= 3).withColumn("tri", tri)
 
-    profile = (
+
+def fluency_profile_table(documents: DataFrame, top_k: int = 200) -> DataFrame:
+    """TRAIN once: the persistable (lang, pg) fluency profile — the top_k
+    char trigrams per language. The 100-TB shape is write-this-table-then-
+    classify; fluency_scores keeps the fused form for oracle parity."""
+    return fluency_profile_from(
+        _norm_docs(documents).withColumn("tri", _tri()), top_k
+    )
+
+
+def fluency_profile_from(grams: DataFrame, top_k: int) -> DataFrame:
+    return (
         grams.select("lang", F.explode("tri").alias("g"))
         .groupBy("lang", "g")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -241,6 +281,20 @@ def fluency_scores(documents: DataFrame, top_k: int = 200) -> DataFrame:
         .filter(F.col("rank") <= top_k)
         .select("lang", F.col("g").alias("pg"))
     )
+
+
+def fluency_classify(documents: DataFrame, profile: DataFrame) -> DataFrame:
+    """APPLY only: coverage of each doc's trigram occurrences by a
+    pretrained profile — zero profile aggregation, zero window functions
+    in this plan (tests/test_plan_shapes.py pins it)."""
+    return _fluency_classify(
+        documents, _norm_docs(documents).withColumn("tri", _tri()), profile
+    )
+
+
+def _fluency_classify(
+    documents: DataFrame, grams: DataFrame, profile: DataFrame
+) -> DataFrame:
     occ = (
         grams.select("doc_id", "lang", F.explode("tri").alias("g"))
         .groupBy("doc_id", "lang", "g")

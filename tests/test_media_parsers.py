@@ -70,3 +70,74 @@ def test_mp4_roundtrip(w, h, frames):
 def test_sniff_rejects_garbage():
     for b in (b"", b"hello", b"\x89PNGxx", b"RIFFxxxxNOPE"):
         assert m.sniff_format(b) is None
+
+
+def _dct_pipeline_mean(pix: bytes, w: int, h: int) -> float:
+    """Expected decoded mean via the lossless-Huffman shortcut: decoded
+    pixels == IDCT(dequant(quant(FDCT(source)))) with edge replication."""
+    total = 0
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            blk = [0] * 64
+            for y in range(8):
+                yy = min(by * 8 + y, h - 1)
+                for x in range(8):
+                    blk[y * 8 + x] = pix[yy * w + min(bx * 8 + x, w - 1)] - 128
+            dec = m.dequant_idct(
+                m.fdct_quant(blk, m.STD_LUMA_QUANT), m.STD_LUMA_QUANT
+            )
+            for y in range(8):
+                if by * 8 + y >= h:
+                    break
+                for x in range(8):
+                    if bx * 8 + x < w:
+                        total += dec[y * 8 + x]
+    return total / (w * h * 255.0)
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=st.integers(1, 24), h=st.integers(1, 24), data=st.data())
+def test_jpeg_entropy_roundtrip(w, h, data):
+    """Full baseline encode -> Huffman/IDCT decode recovers the exact
+    DCT-pipeline pixels (entropy coding is lossless)."""
+    pix = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h))
+    )
+    r = m.parse_jpeg(m.jpeg_bytes(w, h, pix))
+    assert (r["width"], r["height"], r["format"]) == (w, h, "jpeg")
+    assert r["mean_pixel"] == _dct_pipeline_mean(pix, w, h)
+
+
+def test_jpeg_decode_tracks_source():
+    """Quantization error is bounded: smooth gradients decode close to the
+    source (sanity that the DCT chain is a real image transform, not just
+    self-consistent)."""
+    w = h = 16
+    pix = bytes((x * 8 + y * 4) % 256 for y in range(h) for x in range(w))
+    r = m.parse_jpeg(m.jpeg_bytes(w, h, pix))
+    src_mean = sum(pix) / (w * h * 255.0)
+    assert abs(r["mean_pixel"] - src_mean) < 0.02
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 1024),
+    h=st.integers(1, 1024),
+    data=st.data(),
+)
+def test_mp4_frames_roundtrip(w, h, data):
+    frames = [
+        bytes(fr)
+        for fr in data.draw(
+            st.lists(
+                st.lists(st.integers(0, 255), min_size=0, max_size=64),
+                min_size=1,
+                max_size=20,
+            )
+        )
+    ]
+    b = m.mp4_bytes(w, h, len(frames), frames=frames)
+    r = m.parse_mp4(b)
+    assert r["n_samples"] == len(frames)
+    assert r["sample_sizes"] == [len(f) for f in frames]
+    assert m.mp4_frames(b) == frames

@@ -146,3 +146,55 @@ def test_section_tables_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lang_id_classify_has_no_profile_aggregation(spark):
+    """The train/apply split's 100-TB claim: classifying against a
+    PRETRAINED profile performs zero profile aggregation — the only
+    aggregate pair (partial+final) is the per-doc score groupBy, the only
+    window is the per-doc argmax, and the profile join is a broadcast."""
+    from marie_ai_spark.operators.textstats import lang_id_classify
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    profile = spark.createDataFrame(
+        [("en", "the", 1), ("de", "der", 1)], "p_lang string, g string, rank int"
+    )
+    plan = _plan(lang_id_classify(docs, profile, top_k=50))
+    assert _count(plan, "HashAggregate") + _count(plan, "ObjectHashAggregate") \
+        + _count(plan, "SortAggregate") <= 2, plan[:800]
+    assert _count(plan, "Window") == 1, plan[:800]
+    assert _count(plan, "BroadcastHashJoin") >= 1, plan[:800]
+
+
+def test_fluency_classify_has_no_profile_aggregation(spark):
+    """fluency_classify against a pretrained profile: only the doc-side
+    occurrence count + per-doc rollup aggregates (2 pairs), ZERO window
+    functions (the profile ranking window lives in train only)."""
+    from marie_ai_spark.operators.textstats import fluency_classify
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    profile = spark.createDataFrame(
+        [("en", "the"), ("de", "der")], "lang string, pg string"
+    )
+    plan = _plan(fluency_classify(docs, profile))
+    assert _count(plan, "HashAggregate") + _count(plan, "ObjectHashAggregate") \
+        + _count(plan, "SortAggregate") <= 4, plan[:800]
+    assert _count(plan, "Window") == 0, plan[:800]
+    assert _count(plan, "BroadcastHashJoin") >= 1, plan[:800]
+
+
+def test_split_forms_equal_fused(spark):
+    """Train+apply == fused, row for row (both paths share the oracle)."""
+    from marie_ai_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fused = textstats.lang_id_ngram(docs, top_k=20).collect()
+    split = textstats.lang_id_classify(
+        docs, textstats.lang_profile_table(docs, top_k=20), top_k=20
+    ).collect()
+    assert sorted(map(tuple, fused)) == sorted(map(tuple, split))
+    f2 = textstats.fluency_scores(docs, top_k=50).collect()
+    s2 = textstats.fluency_classify(
+        docs, textstats.fluency_profile_table(docs, top_k=50)
+    ).collect()
+    assert sorted(map(tuple, f2)) == sorted(map(tuple, s2))

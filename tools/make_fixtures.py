@@ -417,6 +417,144 @@ def scrub_pii_oracle(n_docs: int = 300, seed: int = 42) -> pd.DataFrame:
     return out
 
 
+# Second, independent implementation of ref_ops/media.py's DCT
+# bit-exactness contract (see that module's docstring): float64, separable
+# 8x8 transforms, ASCENDING index accumulation, quantization rounds half
+# away from zero, pixels round half-up after the +128 level shift.
+_Q50 = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+
+def _jpeg_pipeline_mean(pix: bytes, w: int, h: int) -> float:
+    import math
+
+    ct = [[math.cos((2 * x + 1) * k * math.pi / 16) for x in range(8)]
+          for k in range(8)]
+    al = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+    total = 0
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            s = [[0] * 8 for _ in range(8)]
+            for y in range(8):
+                yy = min(by * 8 + y, h - 1)
+                for x in range(8):
+                    s[y][x] = pix[yy * w + min(bx * 8 + x, w - 1)] - 128
+            # forward: rows of cos over y, then x; quantize half-away
+            t = [[sum(s[y][x] * ct[v][y] for y in range(8)) for x in range(8)]
+                 for v in range(8)]
+            q = [[0] * 8 for _ in range(8)]
+            for v in range(8):
+                for u in range(8):
+                    acc = 0.0
+                    for x in range(8):
+                        acc += t[v][x] * ct[u][x]
+                    val = 0.25 * (al[u] * al[v]) * acc
+                    val /= _Q50[v * 8 + u]
+                    q[v][u] = (
+                        int(math.floor(val + 0.5)) if val >= 0
+                        else int(math.ceil(val - 0.5))
+                    )
+            # inverse
+            r = [[q[v][u] * _Q50[v * 8 + u] for u in range(8)]
+                 for v in range(8)]
+            tt = [[0.0] * 8 for _ in range(8)]
+            for v in range(8):
+                for x in range(8):
+                    acc = 0.0
+                    for u in range(8):
+                        acc += (al[u] * r[v][u]) * ct[u][x]
+                    tt[v][x] = acc
+            for y in range(8):
+                if by * 8 + y >= h:
+                    break
+                for x in range(8):
+                    if bx * 8 + x >= w:
+                        continue
+                    acc = 0.0
+                    for v in range(8):
+                        acc += (al[v] * tt[v][x]) * ct[v][y]
+                    p = int(math.floor(0.25 * acc + 128.0 + 0.5))
+                    total += 0 if p < 0 else (255 if p > 255 else p)
+    return total / (w * h * 255.0)
+
+
+def _mp4_samples_flat(b: bytes) -> tuple[list, int]:
+    """Flat-scan stsz sizes + stco first-chunk offset (moov precedes mdat,
+    so the first tag occurrence is authoritative)."""
+    import struct
+
+    sizes = []
+    off0 = 0
+    i = b.find(b"stsz")
+    if i >= 0:
+        fixed, count = struct.unpack(">II", b[i + 8 : i + 16])
+        if fixed:
+            sizes = [fixed] * count
+        else:
+            sizes = [
+                struct.unpack(">I", b[i + 16 + 4 * k : i + 20 + 4 * k])[0]
+                for k in range(count)
+            ]
+    j = b.find(b"stco")
+    if j >= 0:
+        n, = struct.unpack(">I", b[j + 8 : j + 12])
+        if n:
+            off0, = struct.unpack(">I", b[j + 12 : j + 16])
+    return sizes, off0
+
+
+def media_frames_oracle(n_assets: int = 200, seed: int = 42,
+                        every_k: int = 8) -> pd.DataFrame:
+    """Expected q_media_frames output: per video asset, the JVM sampling
+    fan-out (frame_idx = 0, k, 2k, ... < n_frames) joined with per-frame
+    stats read INDEPENDENTLY from the sample tables (flat stsz/stco scan
+    + mdat slicing + crc32)."""
+    import zlib
+
+    from marie_ai_spark.operators.multimodal import gen_media_rows
+
+    recs = []
+    for aid, kind, payload, meta in gen_media_rows(n_assets, seed):
+        if kind != "video":
+            continue
+        b = bytes(payload)
+        sizes, off0 = _mp4_samples_flat(b)
+        frames = []
+        off = off0
+        for sz in sizes:
+            frames.append(b[off : off + sz])
+            off += sz
+        nf = meta["n_frames"]
+        for pos, idx in enumerate(range(0, nf, every_k)):
+            fb = frames[idx]
+            recs.append(
+                {
+                    "asset_id": aid,
+                    "n_frames": nf,
+                    "sample_pos": pos,
+                    "frame_idx": idx,
+                    "frame_size": len(fb),
+                    "mean_byte": round(sum(fb) / (len(fb) * 255.0), 6)
+                    if fb
+                    else 0.0,
+                    "frame_crc": zlib.crc32(fb),
+                }
+            )
+    out = pd.DataFrame(recs)
+    for c in ("n_frames", "sample_pos", "frame_idx", "frame_size"):
+        out[c] = out[c].astype("int32")
+    out["frame_crc"] = out["frame_crc"].astype("int64")
+    return out
+
+
 def media_decode_oracle(n_assets: int = 200, seed: int = 42) -> pd.DataFrame:
     """Independent re-parse of the gen_media payload bytes — struct-level
     readers written against the format specs SEPARATELY from
@@ -454,7 +592,6 @@ def media_decode_oracle(n_assets: int = 200, seed: int = 42) -> pd.DataFrame:
             mean = sum(pix) / (w * h * 255.0)
         elif b[:2] == b"\xff\xd8":
             fmt = "jpeg"
-            # this generator writes SOI + APP0 + SOF0; walk two segments
             off = 2
             while off < len(b) - 1:
                 marker = b[off + 1]
@@ -464,6 +601,18 @@ def media_decode_oracle(n_assets: int = 200, seed: int = 42) -> pd.DataFrame:
                     break
                 off += 2 + ln
             nf = 1
+            # expected decoded-scan mean, derived INDEPENDENTLY of the
+            # operator's Huffman decoder: Huffman coding is lossless, so
+            # the decoded pixels equal IDCT(dequant(quant(FDCT(source))))
+            # — recomputed here from the generator's source pixels with a
+            # second implementation of the module's DCT bit-exactness
+            # contract. A broken entropy roundtrip in the operator would
+            # shift its mean and fail the hash gate.
+            has_scan = b"\xff\xda" in b
+            if has_scan:
+                from marie_ai_spark.operators.multimodal import _pixels
+
+                mean = _jpeg_pipeline_mean(_pixels(aid, w * h), w, h)
         elif b[:6] in (b"GIF87a", b"GIF89a"):
             fmt = "gif"
             w, h = struct.unpack("<HH", b[6:10])
@@ -485,9 +634,10 @@ def media_decode_oracle(n_assets: int = 200, seed: int = 42) -> pd.DataFrame:
             mean = sum(abs(v) for v in vals) / (nf * 32768.0)
         elif len(b) >= 12 and b[4:8] == b"ftyp":
             fmt = "mp4"
-            # independent flat scan for the mvhd/tkhd payloads: boxes are
-            # (size,type) framed, so locate the type tags and read fixed
-            # offsets per the ISO BMFF layout
+            # independent flat scan for the mvhd/tkhd/stsz/stco payloads:
+            # boxes are (size,type) framed, so locate the type tags and
+            # read fixed offsets per the ISO BMFF layout (first occurrence
+            # is always the moov copy — moov precedes mdat)
             i = b.find(b"mvhd")
             if i >= 0 and b[i + 4] == 0:
                 _ts, nf = struct.unpack(">II", b[i + 16 : i + 24])
@@ -496,6 +646,15 @@ def media_decode_oracle(n_assets: int = 200, seed: int = 42) -> pd.DataFrame:
                 (sz,) = struct.unpack(">I", b[j - 4 : j])
                 w_fx, h_fx = struct.unpack(">II", b[j - 4 + sz - 8 : j - 4 + sz])
                 w, h = w_fx >> 16, h_fx >> 16
+            sizes, off0 = _mp4_samples_flat(b)
+            if sizes:
+                nf = len(sizes)
+                payload_len = sum(sizes)
+                mean = (
+                    sum(b[off0 : off0 + payload_len]) / (payload_len * 255.0)
+                    if payload_len
+                    else 0.0
+                )
         elif b.startswith(_MAGIC):
             fmt = "fake"
             w, h, nf = struct.unpack("<III", b[10:22])
@@ -698,6 +857,9 @@ def main():
     )
     media_decode_oracle(200, 42).to_parquet(
         os.path.join(ROOT, "oracle", "media_decode_a200.parquet"), index=False
+    )
+    media_frames_oracle(200, 42, 8).to_parquet(
+        os.path.join(ROOT, "oracle", "media_frames_a200.parquet"), index=False
     )
     scrub_pii_oracle(300, 42).to_parquet(
         os.path.join(ROOT, "oracle", "scrub_pii_d300.parquet"), index=False
