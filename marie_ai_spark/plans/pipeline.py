@@ -166,6 +166,143 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def compact_extracted(
+    spark: SparkSession,
+    out_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+    run_id: str | None = None,
+) -> dict:
+    """Bin-packed small-file compaction of completed buckets — the
+    operational follow-on to resume at 100 TB: every crash/retry/merge
+    cycle leaves extra files per bucket dir, and scan parallelism decays
+    into file-open overhead without periodic rewrite (Iceberg's
+    rewrite_data_files; the parquet-seam analog here).
+
+    A bucket is compacted when it holds >= min_files files AND its mean
+    file size is below target_file_bytes. The rewrite is one dynamic
+    partition overwrite job repartitioned ON the bucket column, so each
+    bucket lands in one task -> one file per target_file_bytes slab
+    (spark.sql.files.maxRecordsPerFile still bounds pathological rows).
+    Data is verified unchanged: per-bucket rows + order-independent
+    checksum are recomputed after the rewrite and must equal the
+    before-image; a 'compacted' lineage row records the file-count drop.
+    Returns {run_id, buckets_compacted, files_before, files_after}.
+    """
+    from .lineage import new_run_id
+
+    run_id = run_id or f"compact-{new_run_id()}"
+    extracted_path = f"{out_dir}/extracted"
+    lineage_path = f"{out_dir}/lineage"
+
+    # bucket-dir census via the Hadoop FS API (works on any scheme; the
+    # listing is n_buckets dirs — bounded driver metadata, not data)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(extracted_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    victims = []
+    files_before = {}
+    bytes_before = {}
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("_bucket=")):
+            continue
+        bucket = int(name.split("=", 1)[1])
+        sizes = [
+            f.getLen()
+            for f in fs.listStatus(st.getPath())
+            if not f.getPath().getName().startswith(("_", "."))
+        ]
+        if len(sizes) >= min_files and (
+            sum(sizes) / len(sizes) < target_file_bytes
+        ):
+            victims.append(bucket)
+            files_before[bucket] = len(sizes)
+            bytes_before[bucket] = sum(sizes)
+    if not victims:
+        return {"run_id": run_id, "buckets_compacted": 0,
+                "files_before": 0, "files_after": 0}
+
+    started = datetime.now(timezone.utc).replace(tzinfo=None)
+    current = spark.read.parquet(extracted_path).filter(
+        F.col("_bucket").isin(victims)
+    )
+    before = {r["_bucket"]: r for r in partition_metrics(current).collect()}
+    # bin-pack by bytes: bound records-per-file so each output file holds
+    # ~target_file_bytes of the bucket's observed row mass (this also
+    # overrides any tighter maxRecordsPerFile a prior job left on the
+    # session conf — compaction must not inherit the files it is fixing)
+    total_rows = sum(int(before[b]["rows_out"]) for b in victims) or 1
+    avg_row = max(1, sum(bytes_before.values()) // total_rows)
+    prev_mrpf = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set(
+        "spark.sql.files.maxRecordsPerFile",
+        str(max(1, target_file_bytes // avg_row)),
+    )
+    try:
+        # one task per bucket (hash on the partition column keeps each
+        # bucket whole), then the partitioned write emits one file per
+        # bucket slab
+        compacted = current.repartition(len(victims), "_bucket")
+        (
+            compacted.sortWithinPartitions("conv_id", "turn_idx")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(extracted_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", prev_mrpf)
+    after_df = spark.read.parquet(extracted_path).filter(
+        F.col("_bucket").isin(victims)
+    )
+    after = {r["_bucket"]: r for r in partition_metrics(after_df).collect()}
+    for b in victims:
+        if (
+            before[b]["rows_out"] != after[b]["rows_out"]
+            or before[b]["checksum"] != after[b]["checksum"]
+        ):
+            raise RuntimeError(
+                f"compaction changed bucket {b}: "
+                f"{before[b]} -> {after[b]}"
+            )
+    files_after = {}
+    for b in victims:
+        bdir = jvm.org.apache.hadoop.fs.Path(
+            f"{extracted_path}/_bucket={b}"
+        )
+        files_after[b] = sum(
+            1
+            for f in fs.listStatus(bdir)
+            if not f.getPath().getName().startswith(("_", "."))
+        )
+    completed = datetime.now(timezone.utc).replace(tzinfo=None)
+    append_lineage(
+        spark,
+        lineage_path,
+        [
+            {
+                "run_id": run_id,
+                "partition_id": int(b),
+                "status": "compacted",
+                "rows_in": int(before[b]["rows_out"]),
+                "rows_out": int(after[b]["rows_out"]),
+                "checksum": after[b]["checksum"],
+                "started_at": started,
+                "completed_at": completed,
+                "attempt": 1,
+            }
+            for b in victims
+        ],
+    )
+    return {
+        "run_id": run_id,
+        "buckets_compacted": len(victims),
+        "files_before": sum(files_before.values()),
+        "files_after": sum(files_after.values()),
+    }
+
+
 def merge_extracted(
     spark: SparkSession,
     out_dir: str,

@@ -596,6 +596,22 @@ def test_duplicate_clusters_long_chain_star(spark):
         ).collect()
 
 
+def test_cc_star_100k_path_round_bound(spark):
+    """The O(log^2 n) iteration-bound claim at adversarial scale: a
+    100_000-node PATH graph (diameter 10^5 — min-label would need 10^5
+    hops) must converge in <= 25 star rounds with every node labeled by
+    the component minimum. Observed: 18 rounds (~30s at local[32])."""
+    from marie_ai_spark.operators.dedup import _cc_star
+
+    n = 100_000
+    edges = spark.range(n - 1).selectExpr("id as src", "id + 1 as dst")
+    stats = {}
+    out = _cc_star(edges, max_iter=25, stats=stats)
+    assert out.count() == n
+    assert out.filter("cluster_id != 0").count() == 0
+    assert stats["rounds"] <= 25, stats
+
+
 def test_repetition_stats_handcrafted(spark):
     from marie_ai_spark.operators import textstats
 

@@ -192,3 +192,129 @@ def test_merge_differential_vs_golden_replay(spark, tmp_path):
     assert set(got) == set(golden)
     diffs = {k for k in got if got[k] != golden[k]}
     assert not diffs, sorted(diffs)[:5]
+
+
+def _file_census(root):
+    """(relative path, size) of every data file under the extracted dir."""
+    import os
+
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, f)
+            out.append((os.path.relpath(p, root), os.path.getsize(p)))
+    return sorted(out)
+
+
+def test_failed_write_is_atomic_per_table(spark, tmp_path):
+    """Crash-consistency half 1: a write job that dies mid-flight (some
+    tasks already wrote their temp files) must leave the committed table
+    byte-identical — the dynamic-partition-overwrite commit is
+    all-or-nothing at job level, which is the parquet-seam analog of an
+    Iceberg snapshot commit."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(gen_pandas(40, seed=31)).write.parquet(inp)
+    run_extract(spark, inp, out, run_id="ok", n_buckets=4)
+    before_rows = read_extracted(spark, out).toPandas()
+    before_files = _file_census(f"{out}/extracted")
+
+    bad_rules = [{
+        "rule_id": "boom", "doc_kind": "plain", "kind": "regex",
+        "start_expr": "(unclosed", "stop_expr": None,
+        "selection_type": "NEGATION", "label": "x",
+    }]
+    with pytest.raises(Exception):
+        run_extract(spark, inp, out, run_id="crash", n_buckets=4,
+                    rules=bad_rules)
+
+    # table untouched: same files, same bytes, same rows
+    assert _file_census(f"{out}/extracted") == before_files
+    after_rows = read_extracted(spark, out).toPandas()
+    assert after_rows.equals(before_rows)
+    # the failed attempt is on record for the crashed run
+    lin = spark.read.parquet(f"{out}/lineage").toPandas()
+    assert set(lin[lin.run_id == "crash"].status) == {"failed"}
+
+
+def test_crash_between_bucket_commits_recovers(spark, tmp_path):
+    """Crash-consistency half 2: the one true non-atomicity window of the
+    parquet seam — a kill DURING commitJob can leave a SUBSET of bucket
+    dirs replaced with no lineage row. Because lineage is appended only
+    after the whole write lands, resume re-processes every un-done bucket
+    and the dynamic overwrite replaces any half-committed dir: the final
+    table equals the crash-free result, no duplicate or missing turns."""
+    import os
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    crash_free = str(tmp_path / "golden")
+    spark.createDataFrame(gen_pandas(60, seed=33)).write.parquet(inp)
+    run_extract(spark, inp, crash_free, run_id="g", n_buckets=4)
+    golden = read_extracted(spark, crash_free).toPandas()
+
+    # run 1 completes 2 of 4 buckets, then "crashes mid-commit" of the
+    # rest: one pending bucket dir receives partial files (garbage rows
+    # masquerading as committed output), with NO lineage row
+    run_extract(spark, inp, out, run_id="j", n_buckets=4, max_buckets=2)
+    done = {
+        r.partition_id
+        for r in spark.read.parquet(f"{out}/lineage").collect()
+    }
+    pending = [b for b in range(4) if b not in done]
+    victim = pending[0]
+    part_dir = f"{out}/extracted/_bucket={victim}"
+    os.makedirs(part_dir, exist_ok=True)
+    spark.createDataFrame(
+        [("conv-GARBAGE", 0, "user", None, "plain", "half-written", [], 1)],
+        "conv_id string, turn_idx int, role string, ts timestamp, "
+        "doc_kind string, clean_text string, "
+        "spans array<struct<start:int,stop:int,label:string,rule_id:string>>, "
+        "n_lines int",
+    ).write.mode("append").parquet(part_dir)
+
+    # resume processes every bucket without a done row, replacing the
+    # half-committed dir wholesale
+    r = run_extract(spark, inp, out, run_id="j", n_buckets=4)
+    assert r["processed"] == 2 and r["skipped"] == 2
+    final = read_extracted(spark, out).toPandas()
+    assert "conv-GARBAGE" not in set(final.conv_id)
+    assert len(final) == len(golden)
+    assert final.equals(golden)
+
+
+def test_compaction_shrinks_files_preserves_data(spark, tmp_path):
+    """Small-file compaction: a run forced to emit many tiny files per
+    bucket compacts to one file per bucket, with per-bucket rows +
+    checksums provably unchanged, a 'compacted' lineage record, and the
+    resume machinery undisturbed."""
+    from marie_ai_spark.plans.pipeline import compact_extracted
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(gen_pandas(80, seed=44)).write.parquet(inp)
+    # tiny maxRecordsPerFile -> many small files per bucket dir
+    run_extract(spark, inp, out, run_id="c", n_buckets=4,
+                max_records_per_file=20)
+    before = read_extracted(spark, out).toPandas()
+    census_before = _file_census(f"{out}/extracted")
+    assert len(census_before) > 4, "need multiple files per bucket to compact"
+
+    r = compact_extracted(spark, out, min_files=2)
+    assert r["buckets_compacted"] == 4
+    assert r["files_after"] == 4  # one file per bucket
+    assert r["files_after"] < r["files_before"]
+
+    after = read_extracted(spark, out).toPandas()
+    assert after.equals(before)  # byte-for-byte identical data
+    lin = spark.read.parquet(f"{out}/lineage").toPandas()
+    comp = lin[lin.status == "compacted"]
+    assert len(comp) == 4 and (comp.rows_in == comp.rows_out).all()
+    # a second compaction is a no-op (already 1 file per bucket)
+    r2 = compact_extracted(spark, out, min_files=2)
+    assert r2["buckets_compacted"] == 0
+    # resume still sees the original run as complete
+    r3 = run_extract(spark, inp, out, run_id="c", n_buckets=4)
+    assert r3["processed"] == 0 and r3["skipped"] == 4
