@@ -32,12 +32,22 @@ def main():
     rows = df.count()  # also warms the OS page cache for the timed scans
     src = df
 
+    def cpu_snap():
+        with open("/proc/stat") as f:
+            return list(map(int, f.readline().split()[1:]))
+
     best = None
+    best_steal = 0.0
     for _ in range(args.runs):
+        s0 = cpu_snap()
         t0 = time.perf_counter()
         extract_transcripts(src).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
+        s1 = cpu_snap()
+        d = [y - z for z, y in zip(s0, s1)]
+        steal = round(100 * d[7] / (sum(d) or 1), 2)
+        if best is None or dt < best:
+            best, best_steal = dt, steal
 
     json.dump(
         {
@@ -45,6 +55,9 @@ def main():
             "rows": rows,
             "elapsed_sec": round(best, 3),
             "turns_per_sec": round(rows / best, 1),
+            # steal% observed over the best run's window: cross-cycle
+            # medians are filtered on this (shared-host weather)
+            "steal_pct": best_steal,
         },
         sys.stdout,
     )

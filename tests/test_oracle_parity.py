@@ -65,6 +65,7 @@ def test_parity(spark, con, name):
     assert value_hash(srows, sdf.columns) == value_hash(drows, list(res.columns))
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, name):
-    assert QUERIES[name](spark, SF).count() > 0
+def test_every_query_has_an_oracle():
+    """Round 4 closed the last rows-only gap (q_media_frames): every
+    registry query now carries a hash oracle. Keep it that way."""
+    assert set(QUERIES) - set(ORACLES) == set()
