@@ -10,6 +10,8 @@ and standard web-scale quality heuristics otherwise.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -128,13 +130,19 @@ def shingles_of_tokens_n2(wcol):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _tri():
-    """Char-trigram transform over the normalized text column `t` (expr is
-    built lazily — F.expr needs an active SparkContext)."""
-    return F.expr(
-        "transform(sequence(1, greatest(length(t) - 2, 0)),"
-        " i -> substring(t, i, 3))"
-    )
+def _with_tri(df: DataFrame) -> DataFrame:
+    """Char-trigram column over the normalized text `t`, as a VECTORIZED
+    Arrow batch (python slicing is O(1) per window). The previous all-JVM
+    form — transform(sequence(...), i -> substring(t, i, 3)) — was
+    measured ~10x slower: substring on UTF8String walks from the string
+    start (multi-byte aware), so the per-position HOF is O(len^2) PER
+    DOCUMENT no matter how the input is materialized. Trigram content is
+    identical (both slice by characters)."""
+    @F.pandas_udf("array<string>")
+    def tri(t: pd.Series) -> pd.Series:
+        return t.map(lambda s: [s[i : i + 3] for i in range(len(s) - 2)])
+
+    return df.withColumn("tri", tri("t"))
 
 
 def _norm_docs(documents: DataFrame) -> DataFrame:
@@ -196,7 +204,7 @@ def lang_profile_table(documents: DataFrame, top_k: int = 50) -> DataFrame:
     """TRAIN once: the persistable language-trigram profile (p_lang, g,
     rank). The 100-TB shape is write-this-table-then-classify; the fused
     lang_id_ngram exists for oracle parity and small corpora."""
-    return _lang_profile(_norm_docs(documents).withColumn("tri", _tri()), top_k)
+    return _lang_profile(_with_tri(_norm_docs(documents)), top_k)
 
 
 def lang_id_classify(
@@ -205,34 +213,32 @@ def lang_id_classify(
     """APPLY only: classify documents against a pretrained profile table —
     no profile aggregation anywhere in this plan."""
     return _lang_classify(
-        _norm_docs(documents).withColumn("tri", _tri()), profile, top_k
+        _with_tri(_norm_docs(documents)), profile, top_k
     )
 
 
 def lang_id_ngram(documents: DataFrame, top_k: int = 50) -> DataFrame:
-    """Language identification by character-trigram profiles, entirely in
-    relational algebra (no UDF, no model): train (top_k trigrams per
-    language by count desc, trigram asc) fused with classify (distinct
-    doc trigrams join the broadcast profile; score = sum(top_k + 1 -
-    rank); argmax with lang-asc tie-break).
+    """Language identification by character-trigram profiles, model-free
+    and relational except the vectorized Arrow trigram stage: train
+    (top_k trigrams per language by count desc, trigram asc) fused with
+    classify (distinct doc trigrams join the broadcast profile; score =
+    sum(top_k + 1 - rank); argmax with lang-asc tie-break).
 
     On real multilingual text this is the classic n-gram LID heuristic; on
     the synthetic corpus (shared vocabulary across langs) it demonstrates
     the mechanics and scores near chance by construction.
 
-    The normalized-text relation is cached: it feeds BOTH the profile and
-    the classification branches, and the cache doubles as the projection
-    barrier (collapse would inline the regexp normalization into every
-    substring() of the trigram transform — O(len^2) re-normalization per
-    doc). Lifecycle is caller-owned (bench clears caches between queries;
-    a long-lived session should unpersist after consuming). NOTE (round
-    2): deriving both sides from a per-(doc, trigram) count relation was
+    No session-lifetime cache: with the vectorized trigram stage the
+    normalize+trigram recompute per consumer is cheaper than the old
+    cache's memory (and its leak) — fused measured equal to the split
+    form at sf0.1 (~3.5s, down from 7.5s cached-HOF). NOTE (round 2):
+    deriving both sides from a per-(doc, trigram) count relation was
     tried and REVERTED — measured 3x slower at sf0.1 (the shared shuffle
     compresses worse than the narrow array_distinct).
     """
-    base = _norm_docs(documents).cache()
-    grams = base.withColumn("tri", _tri())
-    return _lang_classify(grams, _lang_profile(grams, top_k), top_k)
+    return lang_id_classify(
+        documents, lang_profile_table(documents, top_k), top_k
+    )
 
 
 def fluency_scores(documents: DataFrame, top_k: int = 200) -> DataFrame:
@@ -250,12 +256,9 @@ def fluency_scores(documents: DataFrame, top_k: int = 200) -> DataFrame:
 
     Output: (doc_id, lang, n_trigrams bigint, in_profile_frac).
     """
-    # projection barrier + two consumers: see lang_id_ngram's lifecycle note
-    base = _norm_docs(documents).cache()
-    grams = base.withColumn("tri", _tri())
-    return _fluency_classify(
-        documents, grams, fluency_profile_from(grams, top_k)
-    )
+    # no cache: see lang_id_ngram's note (recompute is cheaper than the
+    # cache's memory + leak since the trigram stage went vectorized)
+    return fluency_classify(documents, fluency_profile_table(documents, top_k))
 
 
 def fluency_profile_table(documents: DataFrame, top_k: int = 200) -> DataFrame:
@@ -263,7 +266,7 @@ def fluency_profile_table(documents: DataFrame, top_k: int = 200) -> DataFrame:
     char trigrams per language. The 100-TB shape is write-this-table-then-
     classify; fluency_scores keeps the fused form for oracle parity."""
     return fluency_profile_from(
-        _norm_docs(documents).withColumn("tri", _tri()), top_k
+        _with_tri(_norm_docs(documents)), top_k
     )
 
 
@@ -288,7 +291,7 @@ def fluency_classify(documents: DataFrame, profile: DataFrame) -> DataFrame:
     pretrained profile — zero profile aggregation, zero window functions
     in this plan (tests/test_plan_shapes.py pins it)."""
     return _fluency_classify(
-        documents, _norm_docs(documents).withColumn("tri", _tri()), profile
+        documents, _with_tri(_norm_docs(documents)), profile
     )
 
 
