@@ -506,3 +506,37 @@ def test_section_tables_spark_matches_twin_corpus(spark):
                    if _re.search(r"(?m)^\|", r.text)}
     with_rows = {c for c, *_ in want}
     assert with_tables - with_rows, "no out-of-section table in the corpus"
+
+
+def test_hybrid_embedding_tie_breaks_on_label(spark):
+    """Adversarial tie path for the vectorized embedding scorer: two
+    labels that NORMALIZE identically ('Data Row' vs 'data row') produce
+    identical embedding vectors, so every norm's raw scores tie exactly —
+    the winner must be the lexicographically smaller label, matching the
+    twin's (-final, label) ordering, for every emitted row."""
+    from marie_ai_spark.operators.hybrid import hybrid_annotate
+    from marie_ai_spark.ref_ops.hybrid import annotate_text, dedup_extractions
+
+    labels = ["data row", "Data Row"]  # same norm; 'D' < 'd' in the tie
+    rows = [
+        ("c0", 0, "the data row ledger", "user", "", None),
+        ("c1", 0, "data row\nrow data totals", "user", "", None),
+    ]
+    sdf = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, text string, role string, "
+        "tool string, ts timestamp",
+    )
+    got = sorted(
+        (r.conv_id, r.label, r.strategy, r.value, r.score)
+        for r in hybrid_annotate(sdf, labels=labels, critical=[]).collect()
+    )
+    want_rows = []
+    for conv_id, turn_idx, text, *_ in rows:
+        want_rows += annotate_text(conv_id, turn_idx, text, labels, [])
+    want = sorted(
+        (r["conv_id"], r["label"], r["strategy"], r["value"], r["score"])
+        for r in dedup_extractions(want_rows)
+    )
+    assert got and got == want
+    assert all(lbl == "Data Row" for _, lbl, *_ in got)
