@@ -222,14 +222,14 @@ def winnow_fingerprints(
         "doc_id",
         F.lower(F.regexp_replace("text", r"\s+", " ")).alias("t"),
     ).filter(F.length("t") >= k)
+    # char k-grams via the vectorized Arrow helper: the JVM HOF form
+    # (transform + substring) is O(len^2) per document (see
+    # functions.char_kgrams) — measured ~2s of this query's cost at sf0.1
+    from ..functions import char_kgrams
+
     grams = base.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("t") - k + 1),
-                lambda i: F.substring(F.col("t"), i, k),
-            )
-        ).alias("pos", "g"),
+        F.posexplode(char_kgrams("t", k)).alias("pos", "g"),
     )
     h = F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("long")
     keyed = grams.select(

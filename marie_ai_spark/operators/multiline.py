@@ -115,15 +115,11 @@ def multiline_candidates(
     toks = F.array_distinct(
         F.regexp_extract_all("lowered", F.lit("[a-z0-9]+"), 0)
     )
-    grams = F.when(
-        F.length("norm") >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length("norm") - 2),
-                lambda i: F.substring(F.col("norm"), i, 3),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # char trigrams via the vectorized Arrow helper (functions.char_kgrams):
+    # the JVM HOF substring walk is O(len^2) per window text
+    from ..functions import char_kgrams
+
+    grams = F.array_distinct(char_kgrams("norm", 3))
     featured = normed.select(
         "conv_id",
         "turn_idx",
