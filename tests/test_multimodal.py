@@ -123,3 +123,68 @@ def test_extract_frames_real_payloads(spark, media):
             )
     assert len(want) > 100
     assert got == want
+
+
+def test_corrupt_payloads_degrade_per_asset(spark):
+    """Real-world media is hostile: truncated or lying payloads must come
+    back ok=false (or contribute zero frames) WITHOUT failing the Spark
+    stage or affecting sibling assets in the same Arrow batch."""
+    from marie_ai_spark.ref_ops.media import (
+        jpeg_bytes,
+        mp4_bytes,
+        png_bytes,
+        wav_bytes,
+    )
+
+    good_png = png_bytes(8, 8, bytes(range(64)))
+    cases = [
+        ("ok-png", "image", good_png),
+        # PNG truncated mid-IDAT: zlib.error territory
+        ("bad-png-trunc", "image", good_png[: len(good_png) - 20]),
+        # JPEG cut inside the entropy-coded scan: bit reader runs dry
+        ("bad-jpeg-trunc", "image",
+         jpeg_bytes(8, 8, bytes(range(64)))[:-12]),
+        # WAV truncated to an ODD payload length: struct.unpack of the
+        # sample array raises struct.error (an even truncation decodes
+        # gracefully as fewer samples — also covered below)
+        ("bad-wav-lie", "audio",
+         wav_bytes(16000, [1, 2, 3])[:-1]),
+        ("short-wav-graceful", "audio",
+         wav_bytes(16000, [1, 2, 3])[:-2]),
+        # MP4 whose stsz promises frames beyond EOF
+        ("bad-mp4-lie", "video",
+         mp4_bytes(16, 16, 3, frames=[b"abc", b"def", b"ghi"])[:-6]),
+        ("empty", "image", b""),
+    ]
+    sdf = spark.createDataFrame(
+        [(aid, kind, bytearray(b),
+          {"width": 8, "height": 8, "sample_rate": 0, "n_frames": 3,
+           "mime": "x"})
+         for aid, kind, b in cases],
+        "asset_id string, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int,mime:string>",
+    )
+    out = {r.asset_id: r for r in decode_media(sdf).collect()}
+    assert len(out) == len(cases)          # the stage survived every asset
+    assert out["ok-png"].ok is True
+    assert out["ok-png"].mean_value > 0
+    assert out["empty"].ok is False
+    # per-asset capture: every corrupt asset either fails cleanly
+    # (ok=false) or degrades to header-only facts — never an exception
+    for aid in ("bad-png-trunc", "bad-jpeg-trunc", "bad-wav-lie"):
+        r = out[aid]
+        assert r.ok is False or r.mean_value == 0.0, aid
+    # graceful degradations (never an exception): an even WAV truncation
+    # decodes as fewer samples; an MP4 whose stsz points past EOF keeps
+    # its header facts and stats over the bytes that exist
+    assert out["short-wav-graceful"].ok is True
+    assert out["short-wav-graceful"].n_frames == 2
+    assert out["bad-mp4-lie"].ok is True
+    assert out["bad-mp4-lie"].n_frames == 3
+
+    # frame extraction over the lying MP4: no crash, no phantom frames
+    # beyond the payload
+    from marie_ai_spark.operators.multimodal import extract_frames
+
+    frames = extract_frames(sdf).collect()
+    assert all(r.frame_size >= 0 for r in frames)
