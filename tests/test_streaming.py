@@ -203,3 +203,32 @@ def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM pii_stream").collect()
     }
     assert got == batch and len(got) == 120
+
+
+def test_streaming_media_decode_matches_batch(spark, tmp_path):
+    """The Arrow-batched media decode runs unchanged under Structured
+    Streaming (mapInPandas is streaming-compatible): availableNow over a
+    parquet media table produces exactly the batch decode's rows — the
+    incremental-ingest shape for a continuously arriving asset feed."""
+    from marie_ai_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        gen_media,
+    )
+
+    inp = str(tmp_path / "media")
+    gen_media(spark, n_assets=45, seed=5).write.parquet(inp)
+
+    batch = {tuple(r) for r in decode_media(spark.read.parquet(inp)).collect()}
+
+    src = spark.readStream.schema(MEDIA_SCHEMA).parquet(inp)
+    q = (
+        decode_media(src)
+        .writeStream.format("memory")
+        .queryName("media_decoded")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("select * from media_decoded").collect()}
+    assert got == batch and len(got) == 45
