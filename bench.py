@@ -141,13 +141,20 @@ def main():
     timings = {}
     query_steal = {}
     total = 0.0
+    # SPARK_GRAFT_BENCH_REPS > 1 keeps the per-query MIN across reps —
+    # for local cross-round comparisons on this weather-prone shared host
+    # (the driver's recorded runs stay at the default single rep)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
     for name in HEADLINE:
         fn = qs[name]
         snap0 = cpu_snap()
-        t0 = time.perf_counter()
-        # foreach-noop materializes every row without driver collect
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
+        dt = None
+        for _ in range(max(reps, 1)):
+            t0 = time.perf_counter()
+            # foreach-noop materializes every row without driver collect
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            d = round(time.perf_counter() - t0, 3)
+            dt = d if dt is None or d < dt else dt
         # per-query steal%: attributes host-weather noise to the exact
         # queries it hit, making cross-round per-query deltas decidable
         query_steal[name] = _steal_pct(snap0, cpu_snap())

@@ -198,3 +198,24 @@ def test_split_forms_equal_fused(spark):
         docs, textstats.fluency_profile_table(docs, top_k=50)
     ).collect()
     assert sorted(map(tuple, f2)) == sorted(map(tuple, s2))
+
+
+def test_faithfulness_is_join_only(spark, tr):
+    """faithfulness_scores: codegen array expressions + one equi-join —
+    zero aggregates, zero windows, zero Python stages."""
+    from marie_ai_spark.operators.evaluate import faithfulness_scores
+    from marie_ai_spark.operators.extract import extract_transcripts
+
+    plan = _plan(faithfulness_scores(tr, extract_transcripts(tr)))
+    assert _count(plan, "HashAggregate") == 0, plan[:600]
+    assert _count(plan, "Window") == 0, plan[:600]
+
+
+def test_extract_frames_single_python_stage(spark):
+    """extract_frames: exactly one Arrow-batched python stage over the
+    video filter — payload bytes never shuffle."""
+    from marie_ai_spark.operators.multimodal import extract_frames, gen_media
+
+    plan = _plan(extract_frames(gen_media(spark, n_assets=12, seed=3)))
+    assert _count(plan, "MapInPandas") == 1, plan[:600]
+    assert _count(plan, "Exchange") == 0, plan[:600]
