@@ -266,6 +266,17 @@ def q_stratified_sample(spark, sf):
     )
 
 
+def q_source_cap(spark, sf):
+    """Per-domain composition cap (C4/RefinedWeb-style): at most 15 docs
+    per source, chosen by a deterministic md5 priority via the salted
+    two-phase top-k (identical to a single source-window, without the
+    head-domain skew partition)."""
+    return curation.per_source_cap(
+        _t(spark, sf, "documents").select("doc_id", "lang", "source"),
+        "source", cap=15, key_col="doc_id",
+    )
+
+
 def q_fluency(spark, sf):
     """CCNet-style fluency proxy: per-doc coverage of the document's
     char-trigram occurrences by its language's top-200 corpus profile —
@@ -820,14 +831,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_scrub_pii": q_scrub_pii,
         "q_stratified_sample": q_stratified_sample,
+        "q_source_cap": q_source_cap,
         "q_curation_pipeline": q_curation_pipeline,
         # --- custom-operator relational evidence (as-of, range join, rollup)
         "q_asof_signup_before_purchase": q_asof_signup_before_purchase,
         "q_value_range_join": q_value_range_join,
         # ---------------- position 51+: multi-round driver-green tail
         # (q_returnflag_vote/q_classify_vote/q_annotate_regex/q_fuzzy_match
-        # are green in r1+r2+r3 and unchanged in round 4 — rotated out to
-        # make window room for the round-4 queries above)
+        # and q_value_range_join are green in r1+r2+r3 and unchanged in
+        # round 4 — rotated out to make window room for the round-4
+        # queries above; q_value_range_join slid to 51 when q_source_cap
+        # entered the curation block)
         "q_returnflag_vote": q_returnflag_vote,
         "q_classify_vote": q_classify_vote,
         "q_annotate_regex": q_annotate_regex,
@@ -1941,6 +1955,16 @@ def oracle_sql() -> dict[str, str]:
     sqls["q_scrub_pii"] = """
         SELECT doc_id, clean_text, n_email, n_ipv4, n_phone, n_card, n_pii
         FROM read_parquet('/root/repo/fixtures/oracle/scrub_pii_d300.parquet')
+    """
+    sqls["q_source_cap"] = """
+        SELECT doc_id, lang, source FROM (
+            SELECT doc_id, lang, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 15
     """
     sqls["q_stratified_sample"] = """
         SELECT doc_id, text, lang, source, n_chars

@@ -89,6 +89,7 @@ HEADLINE = [
     "q_decontaminate",
     "q_scrub_pii",
     "q_stratified_sample",
+    "q_source_cap",
     "q_curation_pipeline",
     "q_fluency",
     "q_fluency_pretrained",

@@ -24,7 +24,7 @@ surface), expressed relationally:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import tokens
@@ -183,3 +183,41 @@ def stratified_sample(
             F.col(stratum_col) == value, F.lit(int(frac * 1000000))
         ).otherwise(thresh)
     return df.filter(bucket < thresh)
+
+
+def per_source_cap(
+    df: DataFrame,
+    source_col: str,
+    cap: int,
+    key_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Per-domain document caps (the C4/RefinedWeb composition control:
+    no single site dominates the training mix): keep at most `cap` rows
+    per source, selected by a DETERMINISTIC content-independent priority
+    (md5 of the key, ties by key) so the choice is reproducible and
+    engine-portable — the same discipline as stratified_sample.
+
+    Scale shape: a single rank-window partitioned by source puts every
+    row of the hottest domain in one partition (the classic head-domain
+    skew — at web scale one domain can be 10%+ of the corpus). Instead,
+    two bounded phases with IDENTICAL output to the single window:
+      1. rank within (source, salt) — the hot domain splits n_salts
+         ways — and keep per-salt top-cap. Any global top-cap row is
+         top-cap within its own salt bucket, so phase 1 keeps a superset.
+      2. rank the <= cap * n_salts survivors per source; keep top-cap.
+    Output: the input rows of the kept documents.
+    """
+    pr = F.md5(F.col(key_col).cast("string"))
+    salt = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_salts))
+    w1 = Window.partitionBy(source_col, "_salt").orderBy("_pr", key_col)
+    w2 = Window.partitionBy(source_col).orderBy("_pr", key_col)
+    return (
+        df.withColumn("_pr", pr)
+        .withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= cap)
+        .drop("_pr", "_salt", "_r1", "_r2")
+    )

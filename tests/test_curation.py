@@ -97,3 +97,39 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     assert stratified_sample(df2, "g", {"a": 1.0}, "k").count() == 0
     # fraction 1.0 keeps everything
     assert stratified_sample(df, "g", {"a": 1.0, "b": 1.0}, "k").count() == 4000
+
+
+def test_per_source_cap_two_phase_equals_single_window(spark):
+    """The salted two-phase top-k must equal the naive single-window
+    semantics exactly, including on a heavily skewed source (one domain
+    holding half the corpus) and sources under the cap."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from marie_ai_spark.operators.curation import per_source_cap
+
+    rows = [(i, "hot" if i < 500 else f"s{i % 7}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        r.doc_id
+        for r in per_source_cap(df, "source", cap=9, key_col="doc_id",
+                                n_salts=8).collect()
+    }
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    want = {
+        r.doc_id
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 9")
+        .collect()
+    }
+    assert got == want
+    # per-source counts: capped at 9; under-cap sources keep everything
+    from collections import Counter
+
+    src = dict(rows)
+    counts = Counter(src[d] for d in got)
+    assert counts["hot"] == 9
+    for s in set(src.values()) - {"hot"}:
+        assert counts[s] == min(9, sum(1 for v in src.values() if v == s))
