@@ -219,3 +219,18 @@ def test_extract_frames_single_python_stage(spark):
     plan = _plan(extract_frames(gen_media(spark, n_assets=12, seed=3)))
     assert _count(plan, "MapInPandas") == 1, plan[:600]
     assert _count(plan, "Exchange") == 0, plan[:600]
+
+
+def test_hybrid_joinback_broadcasts_decisions(spark, tr):
+    """hybrid_annotate: the per-norm decision table joins back onto the
+    candidate fan-out as a BROADCAST — the fan-out must never shuffle
+    through a sort-merge join — and the embedding channel is Arrow-batched
+    python (no interpreter-bound HOF scoring)."""
+    from marie_ai_spark.operators.hybrid import hybrid_annotate
+
+    plan = _plan(hybrid_annotate(tr))
+    assert _count(plan, "BroadcastHashJoin") >= 1, plan[:800]
+    assert _count(plan, "SortMergeJoin") == 0, plan[:800]
+    # the only nested-loop joins are the 4-row label crossjoins
+    assert _count(plan, "BroadcastNestedLoopJoin") <= 2, plan[:800]
+    assert _count(plan, "ArrowEvalPython") >= 1, plan[:800]
