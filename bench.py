@@ -6,6 +6,13 @@ JSON line:
     {"metric": ..., "value": total_sec, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ...}
 
+The driver records only the LAST ~2000 chars of stdout; round 4's line
+grew past that (per-query steal dict) and the recorded BENCH_r04.json
+came back unparseable. The stdout line is therefore kept compact —
+2-decimal timings, compact separators, a hard size guard — and the full
+detail (3-decimal timings, per-query steal, end-of-run calibration) is
+written to BENCH/last_run.json instead.
+
 The extraction-pipeline queries synthesize their transcripts input
 deterministically (seeded) per the north rule; relational/dedup/similarity
 queries read the provided parquet tables. All Spark logs go to stderr;
@@ -172,21 +179,44 @@ def main():
         sf = float(sf)
     except ValueError:
         pass
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                **cal,
-                "host_cal_end_sec": cal_end["host_cal_sec"],
-                "steal_end_pct": cal_end["steal_pct"],
-                "query_steal": query_steal,
-            }
-        )
-    )
+
+    # full-detail record: everything that used to bloat the stdout line
+    detail = {
+        "metric": "total_headline_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "reps": reps,
+        **cal,
+        "host_cal_end_sec": cal_end["host_cal_sec"],
+        "steal_end_pct": cal_end["steal_pct"],
+        "query_steal": query_steal,
+    }
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    try:
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "last_run.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # detail file is best-effort; the stdout line is the contract
+
+    # stdout line: compact separators + 2-decimal timings keep all 72+
+    # queries under the driver's 2000-char capture; the guard drops the
+    # per-query dict entirely rather than ever exceeding the window
+    summary = {
+        "metric": "total_headline_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+        **cal,
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1900:
+        summary["queries"] = "BENCH/last_run.json"
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

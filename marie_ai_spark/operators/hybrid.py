@@ -33,11 +33,23 @@ dictionary side, as one vectorized Arrow batch stage):
     explicit broadcast (decisions ~ matched vocabulary, always tiny next
     to the candidate table — never shuffle the fan-out).
 
-Lifecycle note: the candidate table is persisted (MEMORY_AND_DISK) because
-two consumers read it (distinct norms, join-back). The persist lives for
-the session unless the caller unpersists; bench.py clears caches between
-queries, and at cluster scale the equivalent barrier is a staging write of
-the candidate table (the training-pipeline pattern).
+Lifecycle (`materialize=`): the candidate fan-out has two consumers
+(distinct-norm scoring, join-back). The default "none" recomputes it for
+the join-back — the fan-out is narrow (posexplode + array ops, no
+shuffle), so the recompute costs one extra corpus scan and NOTHING is
+persisted past the call (a session-lifetime MEMORY_AND_DISK persist of a
+bigger-than-corpus relation is exactly what a 100 TB job must not
+accumulate). "persist" caches the fan-out for the duration of the
+decision pass + join-back (caller clears the session cache when done —
+the bench harness does); "staging" writes the fan-out to a temp parquet
+dir both passes read (the training-pipeline barrier pattern).
+
+The per-norm decisions are computed EAGERLY through a bounded
+`limit(max_broadcast_decisions + 1).collect()` — the union-find-gate
+pattern (dedup.py): at or under the bound the decisions become a local
+DataFrame and the join-back broadcasts it (the fan-out never shuffles);
+over the bound (vocabulary too big to broadcast safely) the join-back
+degrades to a shuffle join instead of overflowing the driver.
 """
 
 from __future__ import annotations
@@ -154,8 +166,15 @@ def _embed_score_udf(label_rows):
 
     def fn(norms: pd.Series) -> pd.DataFrame:
         m = len(norms)
-        if m == 0 or n_lbl == 0:
+        if m == 0:
             return pd.DataFrame({"label": [], "final": []})
+        if n_lbl == 0:
+            # a scalar pandas UDF must return one row per input row —
+            # an empty frame here would crash the Arrow stage with a
+            # length mismatch when the label set is empty
+            return pd.DataFrame(
+                {"label": [None] * m, "final": [np.nan] * m}
+            )
         vec = np.zeros((m, _EMBED_DIM), dtype=np.float64)
         rows, cols, signs = [], [], []
         for ri, s in enumerate(norms):
@@ -205,18 +224,34 @@ def _embed_score_udf(label_rows):
     return F.pandas_udf(fn, "struct<label:string,final:double>")
 
 
+_OUT_COLS = [
+    "conv_id", "label", "strategy", "value",
+    "turn_idx", "line_no", "tok_start", "ngram_size", "score",
+]
+_OUT_SCHEMA = (
+    "conv_id string, label string, strategy string, value string, "
+    "turn_idx int, line_no int, tok_start int, ngram_size int, score double"
+)
+
+
 def hybrid_annotate(
     transcripts: DataFrame,
     labels: list[str] | None = None,
     critical: list[str] | None = None,
     dedup: bool = True,
+    materialize: str = "none",
+    max_broadcast_decisions: int = 2_000_000,
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """(conv_id, label, strategy, value, turn_idx, line_no, tok_start,
     ngram_size, score). With dedup=True, one highest-confidence row per
-    (conv_id, label)."""
+    (conv_id, label). See the module docstring for `materialize` and the
+    bounded broadcast gate; the decision pass runs eagerly at call time."""
     labels = labels if labels is not None else DEFAULT_TARGET_LABELS
     critical = critical if critical is not None else DEFAULT_CRITICAL
     spark = transcripts.sparkSession
+    if not labels:
+        return spark.createDataFrame([], _OUT_SCHEMA)
     label_rows = [
         (
             lbl,
@@ -230,17 +265,55 @@ def hybrid_annotate(
         [(r[0], r[1]) for r in label_rows], "label string, norm_label string"
     )
 
-    # see module docstring for the persist lifecycle
-    normed = (
-        _ngram_candidates(transcripts)
-        .filter(F.col("norm") != "")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    candidates = _ngram_candidates(transcripts).filter(F.col("norm") != "")
+    if materialize == "persist":
+        normed = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+    elif materialize == "staging":
+        import tempfile
+
+        path = staging_dir or tempfile.mkdtemp(prefix="hybrid_cand_")
+        candidates.write.mode("overwrite").parquet(path)
+        normed = spark.read.parquet(path)
+    else:  # "none": narrow recompute at join-back, nothing outlives the call
+        normed = candidates
+
+    decisions = decision_plan(normed, label_rows, label_df)
+    # Bounded eager gate (ADVICE r4): decisions scale with the matched
+    # VOCABULARY, which is tiny in every realistic corpus — but "always
+    # tiny" is not a safety argument at 100 TB, so collect at most
+    # max_broadcast_decisions + 1 rows. Under the bound the collected rows
+    # become a local DataFrame (no recompute, broadcast join-back — the
+    # fan-out never shuffles); over it, fall back to a shuffle join.
+    head = decisions.limit(max_broadcast_decisions + 1).collect()
+    if len(head) <= max_broadcast_decisions:
+        dec_local = spark.createDataFrame(
+            head, "norm string, label string, strategy string, score double"
+        )
+        out = normed.join(F.broadcast(dec_local), "norm")
+    else:
+        out = normed.join(decisions, "norm")
+    out = out.select(*_CAND_KEY, "value", "label", "strategy", "score")
+    if not dedup:
+        return out.select(*_OUT_COLS)
+    wd = Window.partitionBy("conv_id", "label").orderBy(
+        F.desc("score"), "turn_idx", "line_no", "tok_start", "ngram_size"
+    )
+    return (
+        out.withColumn("d_rn", F.row_number().over(wd))
+        .filter(F.col("d_rn") == 1)
+        .select(*_OUT_COLS)
     )
 
-    # The match decision is a pure function of the NORMALIZED text, so score
-    # each distinct norm once and join the decision back — the corpus has
-    # orders of magnitude more candidate occurrences than distinct n-grams
-    # (dictionary-matching shape; measured 10x+ at sf0.1).
+
+def decision_plan(
+    normed: DataFrame, label_rows: list[tuple], label_df: DataFrame
+) -> DataFrame:
+    """Lazy per-DISTINCT-norm decision table (norm, label, strategy,
+    score): the fuzzy channel then the Arrow-batched embedding channel.
+    The match decision is a pure function of the NORMALIZED text, so each
+    distinct norm is scored once and joined back — the corpus has orders
+    of magnitude more candidate occurrences than distinct n-grams
+    (dictionary-matching shape; measured 10x+ at sf0.1)."""
     dn = normed.select("norm").distinct()
 
     # --- fuzzy channel. Length gate, twice:
@@ -300,24 +373,4 @@ def hybrid_annotate(
         )
     )
 
-    decisions = fuzzy_direct.unionByName(emb_best)
-    # decisions ~ matched vocabulary (tiny); NEVER shuffle the fan-out
-    out = normed.join(F.broadcast(decisions), "norm").select(
-        *_CAND_KEY, "value", "label", "strategy", "score"
-    )
-    if not dedup:
-        return out.select(
-            "conv_id", "label", "strategy", "value",
-            "turn_idx", "line_no", "tok_start", "ngram_size", "score",
-        )
-    wd = Window.partitionBy("conv_id", "label").orderBy(
-        F.desc("score"), "turn_idx", "line_no", "tok_start", "ngram_size"
-    )
-    return (
-        out.withColumn("d_rn", F.row_number().over(wd))
-        .filter(F.col("d_rn") == 1)
-        .select(
-            "conv_id", "label", "strategy", "value",
-            "turn_idx", "line_no", "tok_start", "ngram_size", "score",
-        )
-    )
+    return fuzzy_direct.unionByName(emb_best)

@@ -222,15 +222,45 @@ def test_extract_frames_single_python_stage(spark):
 
 
 def test_hybrid_joinback_broadcasts_decisions(spark, tr):
-    """hybrid_annotate: the per-norm decision table joins back onto the
-    candidate fan-out as a BROADCAST — the fan-out must never shuffle
-    through a sort-merge join — and the embedding channel is Arrow-batched
-    python (no interpreter-bound HOF scoring)."""
+    """hybrid_annotate: the per-norm decisions (pre-computed through the
+    bounded eager gate) join back onto the candidate fan-out as a
+    BROADCAST — the fan-out must never shuffle through a sort-merge
+    join."""
     from marie_ai_spark.operators.hybrid import hybrid_annotate
 
     plan = _plan(hybrid_annotate(tr))
     assert _count(plan, "BroadcastHashJoin") >= 1, plan[:800]
     assert _count(plan, "SortMergeJoin") == 0, plan[:800]
-    # the only nested-loop joins are the 4-row label crossjoins
-    assert _count(plan, "BroadcastNestedLoopJoin") <= 2, plan[:800]
+
+
+def test_hybrid_decision_plan_is_arrow_batched(spark, tr):
+    """The embedding channel of the decision pass is Arrow-batched python
+    (no interpreter-bound HOF scoring), and its only nested-loop joins
+    are the tiny label crossjoins."""
+    from marie_ai_spark.operators import hybrid as H
+    from marie_ai_spark.ref_ops.hybrid import (
+        DEFAULT_CRITICAL,
+        DEFAULT_TARGET_LABELS,
+        normalize_for_match,
+    )
+    from marie_ai_spark.ref_ops.spans_engine import embed_line
+
+    label_rows = [
+        (
+            lbl,
+            normalize_for_match(lbl),
+            lbl in DEFAULT_CRITICAL,
+            embed_line(normalize_for_match(lbl).lower()),
+        )
+        for lbl in sorted(DEFAULT_TARGET_LABELS)
+    ]
+    label_df = spark.createDataFrame(
+        [(r[0], r[1]) for r in label_rows], "label string, norm_label string"
+    )
+    from pyspark.sql import functions as F
+
+    normed = H._ngram_candidates(tr).filter(F.col("norm") != "")
+    plan = _plan(H.decision_plan(normed, label_rows, label_df))
     assert _count(plan, "ArrowEvalPython") >= 1, plan[:800]
+    assert _count(plan, "BroadcastNestedLoopJoin") <= 2, plan[:800]
+    assert _count(plan, "SortMergeJoin") == 0, plan[:800]

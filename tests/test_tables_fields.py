@@ -540,3 +540,64 @@ def test_hybrid_embedding_tie_breaks_on_label(spark):
     )
     assert got and got == want
     assert all(lbl == "Data Row" for _, lbl, *_ in got)
+
+
+def test_hybrid_empty_labels_returns_empty(spark):
+    """labels=[] must short-circuit to an empty result with the full
+    output schema — not crash in the Arrow stage with a length mismatch
+    (ADVICE r4)."""
+    from marie_ai_spark.operators.hybrid import _OUT_COLS, hybrid_annotate
+
+    sdf = spark.createDataFrame(
+        [("c1", 0, "please review the customer order today")],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = hybrid_annotate(sdf, labels=[], critical=[])
+    assert out.columns == _OUT_COLS
+    assert out.count() == 0
+
+
+def test_hybrid_default_leaves_no_persisted_rdds(spark, corpus_sdf):
+    """materialize='none' (the default) must not leave any persisted RDD
+    behind after the result is materialized (ADVICE r4: the session-
+    lifetime MEMORY_AND_DISK persist leaked on every call)."""
+    from marie_ai_spark.operators.hybrid import hybrid_annotate
+
+    spark.catalog.clearCache()
+    n = hybrid_annotate(corpus_sdf).count()
+    assert n > 0
+    persisted = spark.sparkContext._jsc.getPersistentRDDs()
+    assert persisted.size() == 0, f"{persisted.size()} persisted RDDs leaked"
+
+
+def test_hybrid_broadcast_gate_fallback_identical(spark, corpus_sdf):
+    """Forcing the broadcast gate over its bound (max_broadcast_decisions
+    = 0) must fall back to the shuffle join with IDENTICAL output —
+    the guard changes the physical join, never the result (ADVICE r4)."""
+    from marie_ai_spark.operators.hybrid import hybrid_annotate
+
+    key = lambda r: (  # noqa: E731
+        r.conv_id, r.label, r.strategy, r.value,
+        r.turn_idx, r.line_no, r.tok_start, r.ngram_size, r.score,
+    )
+    fast = sorted(map(key, hybrid_annotate(corpus_sdf).collect()))
+    slow = sorted(map(key, hybrid_annotate(
+        corpus_sdf, max_broadcast_decisions=0).collect()))
+    assert fast and fast == slow
+
+
+def test_hybrid_staging_materialize_identical(spark, corpus_sdf, tmp_path):
+    """materialize='staging' (the cluster-scale barrier: fan-out staged to
+    parquet, both passes read the files) is row-identical to the default
+    recompute path."""
+    from marie_ai_spark.operators.hybrid import hybrid_annotate
+
+    key = lambda r: (  # noqa: E731
+        r.conv_id, r.label, r.strategy, r.value,
+        r.turn_idx, r.line_no, r.tok_start, r.ngram_size, r.score,
+    )
+    base = sorted(map(key, hybrid_annotate(corpus_sdf).collect()))
+    staged = sorted(map(key, hybrid_annotate(
+        corpus_sdf, materialize="staging",
+        staging_dir=str(tmp_path / "cand")).collect()))
+    assert base and base == staged
