@@ -166,6 +166,35 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def _recover_compact_swap(fs, jvm, out_dir: str, extracted_path: str) -> None:
+    """Repair an interrupted compaction swap. A crash between the two
+    renames of step 3 leaves a bucket dir in the run's trash dir but
+    missing from the live table; restore it from trash (the staged copy
+    was verified identical BEFORE any swap began, so a table mixing
+    old and new bucket images is correct either way). Leftover trash and
+    staging dirs from dead runs are then deleted."""
+    root = jvm.org.apache.hadoop.fs.Path(out_dir)
+    if not fs.exists(root):
+        return
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not st.isDirectory():
+            continue
+        if name.startswith(".compact_trash_"):
+            for child in fs.listStatus(st.getPath()):
+                cname = child.getPath().getName()
+                if not cname.startswith("_bucket="):
+                    continue
+                live = jvm.org.apache.hadoop.fs.Path(
+                    f"{extracted_path}/{cname}"
+                )
+                if not fs.exists(live):
+                    fs.rename(child.getPath(), live)
+            fs.delete(st.getPath(), True)
+        elif name.startswith(".compact_staging_"):
+            fs.delete(st.getPath(), True)
+
+
 def compact_extracted(
     spark: SparkSession,
     out_dir: str,
@@ -180,13 +209,26 @@ def compact_extracted(
     rewrite_data_files; the parquet-seam analog here).
 
     A bucket is compacted when it holds >= min_files files AND its mean
-    file size is below target_file_bytes. The rewrite is one dynamic
-    partition overwrite job repartitioned ON the bucket column, so each
-    bucket lands in one task -> one file per target_file_bytes slab
-    (spark.sql.files.maxRecordsPerFile still bounds pathological rows).
-    Data is verified unchanged: per-bucket rows + order-independent
-    checksum are recomputed after the rewrite and must equal the
-    before-image; a 'compacted' lineage row records the file-count drop.
+    file size is below target_file_bytes. The rewrite is staged, verified,
+    then swapped (ADVICE r4 — the previous in-place dynamic overwrite
+    deleted the before-image before verification could run):
+
+      1. victim buckets are rewritten to a STAGING dir, repartitioned ON
+         the bucket column so each bucket lands in one task -> one file
+         per target_file_bytes slab (spark.sql.files.maxRecordsPerFile
+         still bounds pathological rows). The live table is untouched.
+      2. per-bucket rows + order-independent checksum are computed FROM
+         THE STAGED COPY and must equal the before-image; any mismatch
+         deletes the staging dir and raises with the live table intact.
+      3. each verified bucket dir is swapped in by two atomic FS renames
+         (live -> trash, staging -> live). A crash between the renames
+         leaves that bucket's data present in BOTH trash and staging;
+         the next compact_extracted() call restores it from trash before
+         doing anything else (both images verified identical, so a table
+         of part-old/part-new buckets is always correct).
+      4. trash + staging are deleted only after every swap completed.
+
+    A 'compacted' lineage row records the file-count drop per bucket.
     Returns {run_id, buckets_compacted, files_before, files_after}.
     """
     from .lineage import new_run_id
@@ -200,6 +242,7 @@ def compact_extracted(
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(extracted_path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    _recover_compact_swap(fs, jvm, out_dir, extracted_path)
     victims = []
     files_before = {}
     bytes_before = {}
@@ -239,33 +282,64 @@ def compact_extracted(
         "spark.sql.files.maxRecordsPerFile",
         str(max(1, target_file_bytes // avg_row)),
     )
+    staging_path = f"{out_dir}/.compact_staging_{run_id}"
+    trash_path = f"{out_dir}/.compact_trash_{run_id}"
+    jstaging = jvm.org.apache.hadoop.fs.Path(staging_path)
+    jtrash = jvm.org.apache.hadoop.fs.Path(trash_path)
     try:
-        # one task per bucket (hash on the partition column keeps each
+        # 1. one task per bucket (hash on the partition column keeps each
         # bucket whole), then the partitioned write emits one file per
-        # bucket slab
+        # bucket slab — INTO STAGING; the live table is not touched
         compacted = current.repartition(len(victims), "_bucket")
         (
             compacted.sortWithinPartitions("conv_id", "turn_idx")
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_bucket")
-            .parquet(extracted_path)
+            .parquet(staging_path)
         )
     finally:
         spark.conf.set("spark.sql.files.maxRecordsPerFile", prev_mrpf)
-    after_df = spark.read.parquet(extracted_path).filter(
+
+    # 2. verify FROM THE STAGED COPY while the before-image still exists
+    after_df = spark.read.parquet(staging_path).filter(
         F.col("_bucket").isin(victims)
     )
     after = {r["_bucket"]: r for r in partition_metrics(after_df).collect()}
     for b in victims:
         if (
-            before[b]["rows_out"] != after[b]["rows_out"]
+            b not in after
+            or before[b]["rows_out"] != after[b]["rows_out"]
             or before[b]["checksum"] != after[b]["checksum"]
         ):
+            fs.delete(jstaging, True)
             raise RuntimeError(
-                f"compaction changed bucket {b}: "
-                f"{before[b]} -> {after[b]}"
+                f"staged compaction does not match bucket {b}: "
+                f"{before[b]} -> {after.get(b)}; live table left untouched"
             )
+
+    # 3. swap each verified bucket in: live -> trash, staging -> live.
+    # Both renames are single-directory FS renames (atomic on HDFS/posix);
+    # a crash between them is repaired by _recover_compact_swap.
+    fs.mkdirs(jtrash)
+    for b in victims:
+        live_b = jvm.org.apache.hadoop.fs.Path(
+            f"{extracted_path}/_bucket={b}"
+        )
+        trash_b = jvm.org.apache.hadoop.fs.Path(f"{trash_path}/_bucket={b}")
+        stage_b = jvm.org.apache.hadoop.fs.Path(
+            f"{staging_path}/_bucket={b}"
+        )
+        if not fs.rename(live_b, trash_b):
+            raise RuntimeError(f"failed to move bucket {b} to trash")
+        if not fs.rename(stage_b, live_b):
+            raise RuntimeError(
+                f"failed to swap in compacted bucket {b}; recover from "
+                f"{trash_path} via the next compact_extracted() call"
+            )
+
+    # 4. both images verified + swapped everywhere: drop trash + staging
+    fs.delete(jtrash, True)
+    fs.delete(jstaging, True)
     files_after = {}
     for b in victims:
         bdir = jvm.org.apache.hadoop.fs.Path(

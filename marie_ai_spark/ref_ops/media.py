@@ -318,7 +318,11 @@ def parse_jpeg(b: bytes) -> dict:
     single-component (grayscale) baseline streams -> true decoded pixel
     mean. Progressive / multi-component streams return header facts with
     mean 0.0 (the remaining external-codec seam); a stream with no SOS at
-    all (bare header files) likewise."""
+    all (bare header files) likewise. Streams using restart intervals
+    (a DRI segment, or RST markers inside the scan) also fall back to
+    header facts: the entropy decoder here has no restart handling, and
+    without this gate a real restart-interval baseline JPEG would raise
+    from the bit reader and lose width/height entirely (ADVICE r4)."""
     if not b.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG")
     off = 2
@@ -329,6 +333,7 @@ def parse_jpeg(b: bytes) -> dict:
     comps: list[tuple[int, int]] = []  # (component id, quant table id)
     scan = None
     scan_tables = None  # (dc table id, ac table id) of the single component
+    dri_seen = False  # restart intervals -> header-facts fallback
     while off + 4 <= len(b):
         if b[off] != 0xFF:
             off += 1
@@ -362,6 +367,8 @@ def parse_jpeg(b: bytes) -> dict:
                     p += 64
                 else:
                     p += 128
+        elif marker == 0xDD:  # DRI: restart interval defined
+            dri_seen = True
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -396,8 +403,13 @@ def parse_jpeg(b: bytes) -> dict:
         "height": int(height),
         "mean_pixel": 0.0,
     }
+    has_rst = scan is not None and any(
+        scan.find(bytes([0xFF, m])) != -1 for m in range(0xD0, 0xD8)
+    )
     decodable = (
         sof_marker in (0xC0, 0xC1)
+        and not dri_seen
+        and not has_rst
         and scan is not None
         and scan_tables is not None
         and len(comps) == 1

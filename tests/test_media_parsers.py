@@ -108,6 +108,31 @@ def test_jpeg_entropy_roundtrip(w, h, data):
     assert r["mean_pixel"] == _dct_pipeline_mean(pix, w, h)
 
 
+def test_jpeg_restart_interval_falls_back_to_header_facts():
+    """A baseline JPEG using restart intervals (DRI segment / RST markers)
+    must NOT raise from the bit reader — it returns header facts with
+    mean 0.0, the documented fallback contract (ADVICE r4). Covers both
+    the DRI-segment gate and the RST-in-scan gate independently."""
+    w = h = 16
+    pix = bytes(range(w)) * h
+    b = m.jpeg_bytes(w, h, pix)
+    assert m.parse_jpeg(b)["mean_pixel"] > 0.0  # decodable without DRI
+
+    # insert a DRI segment (FF DD 00 04 <interval=4>) right after SOI
+    with_dri = b[:2] + bytes([0xFF, 0xDD, 0x00, 0x04, 0x00, 0x04]) + b[2:]
+    r = m.parse_jpeg(with_dri)
+    assert (r["width"], r["height"], r["mean_pixel"]) == (w, h, 0.0)
+
+    # splice a bare RST0 marker into the scan (no DRI): still fallback,
+    # never a ValueError from inside the entropy decoder
+    sos = b.find(bytes([0xFF, 0xDA]))
+    (seg_len,) = __import__("struct").unpack(">H", b[sos + 2 : sos + 4])
+    mid = sos + 2 + seg_len + 8
+    with_rst = b[:mid] + bytes([0xFF, 0xD0]) + b[mid:]
+    r2 = m.parse_jpeg(with_rst)
+    assert (r2["width"], r2["height"], r2["mean_pixel"]) == (w, h, 0.0)
+
+
 def test_jpeg_decode_tracks_source():
     """Quantization error is bounded: smooth gradients decode close to the
     source (sanity that the DCT chain is a real image transform, not just

@@ -318,3 +318,83 @@ def test_compaction_shrinks_files_preserves_data(spark, tmp_path):
     # resume still sees the original run as complete
     r3 = run_extract(spark, inp, out, run_id="c", n_buckets=4)
     assert r3["processed"] == 0 and r3["skipped"] == 4
+
+
+def test_compaction_verify_failure_leaves_live_table_untouched(
+    spark, tmp_path, monkeypatch
+):
+    """If the staged rewrite fails verification, compaction must raise
+    WITHOUT having deleted or replaced anything in the live table, and
+    must clean up its staging dir (ADVICE r4: the old in-place overwrite
+    verified only after the before-image was gone)."""
+    import pytest
+
+    import marie_ai_spark.plans.pipeline as P
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(gen_pandas(60, seed=45)).write.parquet(inp)
+    run_extract(spark, inp, out, run_id="v", n_buckets=4,
+                max_records_per_file=20)
+    before = read_extracted(spark, out).toPandas()
+    census_before = _file_census(f"{out}/extracted")
+
+    orig = P.partition_metrics
+    calls = {"n": 0}
+
+    def corrupt_staged(df):
+        # first call = before-image, second call = staged copy
+        calls["n"] += 1
+        got = orig(df)
+        if calls["n"] == 2:
+            from pyspark.sql import functions as F
+
+            got = got.withColumn("checksum", F.lit("CORRUPT"))
+        return got
+
+    monkeypatch.setattr(P, "partition_metrics", corrupt_staged)
+    with pytest.raises(RuntimeError, match="live table left untouched"):
+        P.compact_extracted(spark, out, min_files=2)
+    monkeypatch.setattr(P, "partition_metrics", orig)
+
+    # live table: identical data, identical file layout, no leftovers
+    assert _file_census(f"{out}/extracted") == census_before
+    assert read_extracted(spark, out).toPandas().equals(before)
+    leftovers = [p.name for p in (tmp_path / "out").iterdir()
+                 if p.name.startswith(".compact_")]
+    assert leftovers == []
+
+
+def test_compaction_crash_mid_swap_recovers(spark, tmp_path):
+    """A crash between the two swap renames leaves a bucket in trash and
+    missing from the live table; the next compact_extracted() call must
+    restore it before compacting, and the data must be unchanged."""
+    import shutil
+
+    from marie_ai_spark.plans.pipeline import compact_extracted
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(gen_pandas(60, seed=46)).write.parquet(inp)
+    run_extract(spark, inp, out, run_id="w", n_buckets=4,
+                max_records_per_file=20)
+    before = read_extracted(spark, out).toPandas()
+
+    # simulate the crash window: live bucket moved to trash, staged copy
+    # (identical here — the swap only runs on verified-identical images)
+    # still in staging
+    live = tmp_path / "out" / "extracted" / "_bucket=1"
+    trash = tmp_path / "out" / ".compact_trash_dead" / "_bucket=1"
+    staging = tmp_path / "out" / ".compact_staging_dead" / "_bucket=1"
+    trash.parent.mkdir()
+    staging.parent.mkdir()
+    shutil.copytree(live, staging)
+    shutil.move(str(live), str(trash))
+    assert not live.exists()
+
+    r = compact_extracted(spark, out, min_files=2)
+    assert r["buckets_compacted"] == 4  # bucket 1 recovered, then compacted
+    assert read_extracted(spark, out).toPandas().equals(before)
+    leftovers = [p.name for p in (tmp_path / "out").iterdir()
+                 if p.name.startswith(".compact_")]
+    assert leftovers == []
