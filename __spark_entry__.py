@@ -277,6 +277,23 @@ def q_source_cap(spark, sf):
     )
 
 
+def q_token_budget_sample(spark, sf):
+    """Token-budget mixture sampling (the data-mixture knob): each
+    source's token allowance is filled in deterministic md5-priority
+    order. Runs the two-phase bucketed prefix-sum plan (skew-free; the
+    boundary bucket is the only exact window); oracle = one
+    source-partitioned running-sum window."""
+    from marie_ai_spark.functions import token_count
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "source", token_count("text").cast("int").alias("n_tok")
+    )
+    return curation.token_budget_sample(
+        docs, "source", {"src0": 900, "src1": 500}, "doc_id", "n_tok",
+        default_budget=700,
+    )
+
+
 def q_fluency(spark, sf):
     """CCNet-style fluency proxy: per-doc coverage of the document's
     char-trigram occurrences by its language's top-200 corpus profile —
@@ -496,6 +513,18 @@ def q_embed_neardup(spark, sf):
     return similarity.cosine_neardup_pairs(
         _t(spark, sf, "embeddings"), threshold=0.45, block_col="label"
     )
+
+
+def q_semantic_dedup(spark, sf):
+    """SemDeDup: IVF-cell-clustered embeddings, near-dups dropped within
+    each cell (keep lowest vec_id). The quantizer is trained by the same
+    deterministic driver-side k-means as q_embed_ivf_topk; the oracle
+    reproduces it bit-identically from the parquet file via the numpy
+    twin (train_ivf_centroids_local) and re-derives assignment + pairs
+    in SQL."""
+    emb = _t(spark, sf, "embeddings")
+    cents = similarity.train_ivf_centroids(emb, n_centroids=8, iters=3)
+    return similarity.semantic_dedup(emb, cents, threshold=0.45)
 
 
 def q_extract_transcripts(spark, sf):
@@ -828,10 +857,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_topk": q_embed_topk,
         "q_embed_ivf_topk": q_embed_ivf_topk,
         "q_embed_neardup": q_embed_neardup,
+        "q_semantic_dedup": q_semantic_dedup,
         "q_decontaminate": q_decontaminate,
         "q_scrub_pii": q_scrub_pii,
         "q_stratified_sample": q_stratified_sample,
         "q_source_cap": q_source_cap,
+        "q_token_budget_sample": q_token_budget_sample,
         "q_curation_pipeline": q_curation_pipeline,
         # --- custom-operator relational evidence (as-of, range join, rollup)
         "q_asof_signup_before_purchase": q_asof_signup_before_purchase,
@@ -937,6 +968,52 @@ _SIMHASH_SIG_CTE = """
                 FROM bits
             )
 """
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """DuckDB oracle for q_semantic_dedup. The IVF quantizer is
+    recomputed bit-identically from the sf0.01 embeddings parquet (the
+    driver's fixed correctness scale) by the numpy twin and embedded as
+    full-precision literals; cell assignment (argmin distance, ties to
+    the lowest cell — list_distance is the monotone sqrt of the Spark
+    fold, so the ranking agrees) and the within-cell lowest-id near-dup
+    drop are re-derived in SQL."""
+    from marie_ai_spark.operators.similarity import train_ivf_centroids_local
+
+    cents = train_ivf_centroids_local(
+        "/root/testdata/sf0.01/embeddings.parquet", n_centroids=8, iters=3
+    )
+    values = ",\n                ".join(
+        "({}, [{}]::DOUBLE[])".format(ci, ", ".join(repr(v) for v in c))
+        for ci, c in enumerate(cents)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        cents AS (
+            SELECT * FROM (VALUES
+                {values}
+            ) AS t(cell, c)
+        ),
+        assigned AS (
+            SELECT vec_id, v,
+                   (SELECT cell FROM cents
+                    ORDER BY list_distance(e.v, cents.c) ASC, cell ASC
+                    LIMIT 1) AS cell
+            FROM e
+        ),
+        drops AS (
+            SELECT DISTINCT b.vec_id
+            FROM assigned a
+            JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45
+        )
+        SELECT vec_id, cell FROM assigned
+        WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1975,6 +2052,27 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'fr' THEN 500000 WHEN 'es' THEN 250000
                         WHEN 'zh' THEN 100000 ELSE 0 END
     """
+    sqls["q_token_budget_sample"] = """
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END AS INTEGER) AS n_tok,
+                   md5(CAST(doc_id AS VARCHAR)) AS p
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source, n_tok,
+                   sum(n_tok) OVER (
+                       PARTITION BY source ORDER BY p, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM t
+        )
+        SELECT doc_id, source, n_tok FROM c
+        WHERE cum <= CASE source WHEN 'src0' THEN 900
+                                 WHEN 'src1' THEN 500 ELSE 700 END
+    """
     sqls["q_fluency"] = """
         WITH base AS (
             SELECT doc_id, lang,
@@ -2114,4 +2212,5 @@ def oracle_sql() -> dict[str, str]:
         FROM rt r JOIN tt t
           ON r.conv_id = t.conv_id AND r.turn_idx = t.turn_idx
     """
+    sqls["q_semantic_dedup"] = _semantic_dedup_oracle_sql()
     return sqls

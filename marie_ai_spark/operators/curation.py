@@ -185,6 +185,127 @@ def stratified_sample(
     return df.filter(bucket < thresh)
 
 
+def _budget_expr(source_col: str, budgets: dict[str, int], default_budget: int):
+    b = F.lit(int(default_budget))
+    for value, amount in sorted(budgets.items(), reverse=True):
+        b = F.when(F.col(source_col) == value, F.lit(int(amount))).otherwise(b)
+    return b
+
+
+def _tb_priority(key_col: str):
+    return F.md5(F.col(key_col).cast("string"))
+
+
+def token_budget_sample(
+    df: DataFrame,
+    source_col: str,
+    budgets: dict[str, int],
+    key_col: str,
+    token_col: str,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Domain-weighted token-budget sampling — the data-mixture knob a
+    training run turns (each source gets a token allowance, e.g. "3B
+    tokens of forums, 1B of patents"): per source, keep documents in
+    deterministic md5-priority order until the budget is exhausted. A
+    doc is kept iff the running token total through it, ordered by
+    (md5(key), key), is <= budget(source). Deterministic and
+    engine-portable, like stratified_sample; `token_col` is a
+    precomputed per-row token count.
+
+    Scale shape: the running sum is inherently sequential per source,
+    and one source-partitioned window puts the hottest domain in a
+    single partition (head-domain skew — per_source_cap's problem, but
+    a rank cap can salt freely while a PREFIX SUM cannot). Equivalent
+    two-phase plan:
+      1. bucket rows by the first 3 hex digits of the priority — a
+         PREFIX of the priority order, so bucket order is consistent
+         with doc order within a source;
+      2. aggregate token sums per (source, bucket) — a bounded table,
+         <= 4096 rows per source regardless of corpus size — and take
+         each bucket's EXCLUSIVE running prefix with a window over that
+         small aggregate;
+      3. join the prefix back on (source, bucket) — a skew-free key:
+         the hot domain splits 4096 ways. Rows of buckets that fit
+         entirely (prefix + bucket sum <= budget) pass with no window
+         at all; buckets wholly past the budget drop; the ONE boundary
+         bucket per source runs the exact per-doc window over ~1/4096
+         of the domain.
+    Output row-identical to the single window (test-asserted); returns
+    the kept input rows.
+    """
+    pr = _tb_priority(key_col)
+    base = (
+        df.withColumn("_tb_pr", pr)
+        .withColumn(
+            "_tb_bucket",
+            F.conv(F.substring("_tb_pr", 1, 3), 16, 10).cast("int"),
+        )
+        .withColumn(
+            "_tb_budget", _budget_expr(source_col, budgets, default_budget)
+        )
+    )
+    agg = base.groupBy(source_col, "_tb_bucket").agg(
+        F.sum(token_col).alias("_tb_bsum")
+    )
+    wpre = (
+        Window.partitionBy(source_col)
+        .orderBy("_tb_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = agg.withColumn(
+        "_tb_prefix", F.coalesce(F.sum("_tb_bsum").over(wpre), F.lit(0))
+    )
+    joined = base.join(prefix, [source_col, "_tb_bucket"])
+    aux = ["_tb_pr", "_tb_bucket", "_tb_budget", "_tb_prefix", "_tb_bsum"]
+    whole = joined.filter(
+        F.col("_tb_prefix") + F.col("_tb_bsum") <= F.col("_tb_budget")
+    )
+    boundary = joined.filter(
+        (F.col("_tb_prefix") + F.col("_tb_bsum") > F.col("_tb_budget"))
+        & (F.col("_tb_prefix") < F.col("_tb_budget"))
+    )
+    win = (
+        Window.partitionBy(source_col, "_tb_bucket")
+        .orderBy("_tb_pr", key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    boundary_kept = boundary.withColumn(
+        "_tb_cum", F.col("_tb_prefix") + F.sum(token_col).over(win)
+    ).filter(F.col("_tb_cum") <= F.col("_tb_budget"))
+    return whole.drop(*aux).unionByName(
+        boundary_kept.drop(*aux, "_tb_cum")
+    )
+
+
+def token_budget_sample_window(
+    df: DataFrame,
+    source_col: str,
+    budgets: dict[str, int],
+    key_col: str,
+    token_col: str,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Single-window reference form of token_budget_sample (the oracle
+    shape): one running sum partitioned by source. Correct at any scale
+    that tolerates the head-domain partition; used by the equivalence
+    test and as the SQL-oracle twin."""
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("_tb_pr", key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("_tb_pr", _tb_priority(key_col))
+        .withColumn(
+            "_tb_budget", _budget_expr(source_col, budgets, default_budget)
+        )
+        .withColumn("_tb_cum", F.sum(token_col).over(w))
+        .filter(F.col("_tb_cum") <= F.col("_tb_budget"))
+        .drop("_tb_pr", "_tb_budget", "_tb_cum")
+    )
+
+
 def per_source_cap(
     df: DataFrame,
     source_col: str,

@@ -110,27 +110,10 @@ def cosine_neardup_pairs(
     )
 
 
-def train_ivf_centroids(
-    embeddings: DataFrame, n_centroids: int = 16, iters: int = 5,
-    sample_size: int = 2048,
-) -> list[list[float]]:
-    """IVF coarse quantizer: k-means on a deterministic sample.
-
-    The sample (lowest vec_ids) is tiny and driver-side by design — the
-    quantizer is index METADATA, like the planes of the hyperplane LSH;
-    the data-scale work (assignment, probing) stays distributed.
-    Deterministic: init = first k sample vectors, fixed iteration count,
-    ties broken by centroid index.
-    """
-    import numpy as np
-
-    rows = (
-        embeddings.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(sample_size)
-        .collect()
-    )
-    x = np.array([list(r.embedding) for r in rows], dtype="float64")
+def _kmeans(x, n_centroids: int, iters: int) -> list[list[float]]:
+    """Deterministic k-means: init = first k sample vectors, fixed
+    iteration count, ties broken by centroid index (np.argmin keeps the
+    first minimum)."""
     k = min(n_centroids, len(x))
     cent = x[:k].copy()
     for _ in range(iters):
@@ -141,6 +124,45 @@ def train_ivf_centroids(
             if len(m):
                 cent[c] = m.mean(axis=0)
     return [[float(v) for v in row] for row in cent]
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame, n_centroids: int = 16, iters: int = 5,
+    sample_size: int = 2048,
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means on a deterministic sample.
+
+    The sample (lowest vec_ids) is tiny and driver-side by design — the
+    quantizer is index METADATA, like the planes of the hyperplane LSH;
+    the data-scale work (assignment, probing) stays distributed.
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([list(r.embedding) for r in rows], dtype="float64")
+    return _kmeans(x, n_centroids, iters)
+
+
+def train_ivf_centroids_local(
+    parquet_path: str, n_centroids: int = 16, iters: int = 5,
+    sample_size: int = 2048,
+) -> list[list[float]]:
+    """Numpy twin of train_ivf_centroids reading the parquet file
+    directly (no SparkSession) — used by the DuckDB oracle to reproduce
+    the exact quantizer. Bit-identical: same deterministic sample (lowest
+    vec_ids), same init, same iteration count, same numpy arithmetic."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path, columns=["vec_id", "embedding"])
+    df = tbl.to_pandas().sort_values("vec_id").head(sample_size)
+    x = np.array([list(v) for v in df["embedding"]], dtype="float64")
+    return _kmeans(x, n_centroids, iters)
 
 
 def _nearest_centroid_col(centroids: list[list[float]]):
@@ -187,6 +209,37 @@ def ivf_topk(
     )
     return brute_force_topk(
         candidates.select("vec_id", "embedding"), query_vec, k
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): embeddings are clustered by the IVF coarse
+    quantizer, and near-duplicates are detected only WITHIN a cell —
+    pair generation is a cell-equality self-join, never a cross join, so
+    the 100 TB cost is sum(|cell|^2) over balanced cells instead of N^2
+    (the paper's within-cluster pruning, on the same quantizer the ANN
+    index already maintains).
+
+    Keep rule (deterministic): a vector is DROPPED iff ANY same-cell
+    vector with a smaller vec_id is cosine-similar at >= threshold —
+    lowest-id-representative preference, evaluated against all smaller
+    ids (not only kept ones), so chains a~b, b~c drop both b and c even
+    when a!~c. One relational pass, no iteration, engine-portable.
+
+    Returns the kept rows as (vec_id, cell).
+    """
+    assigned = ivf_assign(
+        embeddings.select("vec_id", "embedding"), centroids
+    )
+    pairs = cosine_neardup_pairs(assigned, threshold, block_col="cell")
+    drops = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    return assigned.join(drops, "vec_id", "left_anti").select(
+        "vec_id", "cell"
     )
 
 

@@ -133,3 +133,54 @@ def test_per_source_cap_two_phase_equals_single_window(spark):
     assert counts["hot"] == 9
     for s in set(src.values()) - {"hot"}:
         assert counts[s] == min(9, sum(1 for v in src.values() if v == s))
+
+
+def test_token_budget_sample_two_phase_equals_single_window(spark):
+    """The bucketed two-phase prefix-sum plan must keep exactly the rows
+    of the single source-window running sum, including on a skewed input
+    (one domain = half the corpus) and a source whose total mass is
+    under budget (kept whole)."""
+    from marie_ai_spark.operators.curation import (
+        token_budget_sample,
+        token_budget_sample_window,
+    )
+
+    rows = [
+        (i, "hot" if i < 500 else f"s{i % 7}", 10 + i % 37)
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    budgets = {"hot": 800, "s0": 50}
+    got = {
+        r.doc_id
+        for r in token_budget_sample(
+            df, "source", budgets, "doc_id", "n_tok", default_budget=10_000
+        ).collect()
+    }
+    want = {
+        r.doc_id
+        for r in token_budget_sample_window(
+            df, "source", budgets, "doc_id", "n_tok", default_budget=10_000
+        ).collect()
+    }
+    assert got == want and got
+    # budget semantics: per-source kept mass <= budget, and the next doc
+    # in priority order would overflow (the sample is maximal)
+    import hashlib
+
+    toks = {i: t for i, s, t in rows}
+    srcs = {i: s for i, s, t in rows}
+    for s, budget in [("hot", 800), ("s0", 50), ("s1", 10_000)]:
+        member = sorted(
+            (i for i in srcs if srcs[i] == s),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )
+        kept_mass = sum(toks[i] for i in member if i in got)
+        assert kept_mass <= budget
+        dropped = [i for i in member if i not in got]
+        if dropped:
+            first_dropped = min(dropped, key=member.index)
+            assert kept_mass + toks[first_dropped] > budget
+        # the kept set is a PREFIX of the priority order
+        flags = [i in got for i in member]
+        assert flags == sorted(flags, reverse=True)

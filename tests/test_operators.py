@@ -309,6 +309,50 @@ class TestIVF:
         assert a == b
         assert len(set(a.values())) > 1  # vectors spread over cells
 
+    def test_local_quantizer_twin_is_bit_identical(self, spark, emb):
+        """The numpy twin (used by the DuckDB oracle) must reproduce the
+        Spark-collected quantizer exactly — same sample, same arithmetic."""
+        from marie_ai_spark.operators.similarity import (
+            train_ivf_centroids,
+            train_ivf_centroids_local,
+        )
+
+        via_spark = train_ivf_centroids(emb, n_centroids=8, iters=3)
+        via_file = train_ivf_centroids_local(
+            "/root/testdata/sf0.001/embeddings.parquet",
+            n_centroids=8, iters=3,
+        )
+        assert via_spark == via_file
+
+    def test_semantic_dedup_drops_within_cell_chains(self, spark):
+        """Planted near-dup chain in one cell: a~b and b~c at >= T with
+        a!~c still drops BOTH b and c (any smaller-id similar neighbor);
+        a distinct vector in another cell is kept even if similar to a
+        (no cross-cell pairs by construction)."""
+        import math
+
+        from marie_ai_spark.operators.similarity import semantic_dedup
+
+        def unit(theta):
+            return [math.cos(theta), math.sin(theta)] + [0.0] * 6
+
+        # centroids: cell 0 near angle 0, cell 1 near angle pi
+        cents = [unit(0.0), unit(math.pi)]
+        rows = [
+            (0, unit(0.00)),          # kept (lowest id in its chain)
+            (1, unit(0.50)),          # cos(0.5)=0.878 >= 0.85 vs id 0 -> drop
+            (2, unit(1.00)),          # vs id 1: cos(0.5) -> drop; vs id 0: cos(1)=0.54 < T
+            (3, unit(math.pi)),       # other cell: kept
+            (4, unit(math.pi - 0.2)), # cos(0.2)=0.98 vs id 3 -> drop
+        ]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+        got = {(r.vec_id, r.cell)
+               for r in semantic_dedup(emb, cents, threshold=0.85).collect()}
+        assert got == {(0, 0), (3, 1)}
+
 
 def test_fuzzy_annotate(spark):
     from marie_ai_spark.operators.annotate import fuzzy_annotate

@@ -221,6 +221,55 @@ def test_extract_frames_single_python_stage(spark):
     assert _count(plan, "Exchange") == 0, plan[:600]
 
 
+def test_token_budget_sample_windows_are_bucket_partitioned(spark):
+    """token_budget_sample: every Window over the full corpus partitions
+    by (source, _tb_bucket) — the skew-free key — never by source alone;
+    the only source-partitioned window runs over the <=4096-rows-per-
+    source bucket AGGREGATE. Concretely: at most 2 Window ops, and the
+    per-doc running sum's spec mentions _tb_bucket."""
+    from marie_ai_spark.functions import token_count
+    from marie_ai_spark.operators.curation import token_budget_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", token_count("text").cast("int").alias("n_tok")
+    )
+    plan = _plan(token_budget_sample(
+        docs, "source", {"src0": 500}, "doc_id", "n_tok",
+        default_budget=400,
+    ))
+    assert _count(plan, "CartesianProduct") == 0, plan[:800]
+    # <=3 Windows: the bounded-aggregate prefix window appears once per
+    # Union branch (whole-bucket keep + boundary bucket), plus the one
+    # exact per-doc window
+    n_windows = len(re.findall(r"\bWindow\b", plan))
+    assert n_windows <= 3, plan[:1200]
+    # every per-doc window (ordering on the md5 priority _tb_pr) carries
+    # the bucket in its partition spec — the full corpus never flows
+    # through a source-only window
+    win_lines = [ln for ln in plan.splitlines()
+                 if "windowspecdefinition" in ln and "_tb_pr" in ln]
+    assert win_lines and all("_tb_bucket" in ln for ln in win_lines), (
+        "\n".join(win_lines)[:800]
+    )
+
+
+def test_semantic_dedup_is_cell_partitioned(spark):
+    """semantic_dedup: pair generation is an equi-join on the IVF cell —
+    never a cartesian/nested-loop product — so the work is partitioned by
+    cell (sum of |cell|^2, not N^2) at any scale."""
+    from marie_ai_spark.operators.similarity import (
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_centroids=4, iters=2)
+    plan = _plan(semantic_dedup(emb, cents, threshold=0.45))
+    assert _count(plan, "CartesianProduct") == 0, plan[:800]
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0, plan[:800]
+    assert "cell" in plan  # the join key is the cell column
+
+
 def test_hybrid_joinback_broadcasts_decisions(spark, tr):
     """hybrid_annotate: the per-norm decisions (pre-computed through the
     bounded eager gate) join back onto the candidate fan-out as a
