@@ -97,6 +97,8 @@ HEADLINE = [
     "q_scrub_pii",
     "q_stratified_sample",
     "q_source_cap",
+    "q_token_budget_sample",
+    "q_semantic_dedup",
     "q_curation_pipeline",
     "q_fluency",
     "q_fluency_pretrained",

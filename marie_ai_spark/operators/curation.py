@@ -133,6 +133,66 @@ def contaminated_docs(
     )
 
 
+def benchmark_shingles(
+    benchmark: DataFrame, n: int = 13, text_col: str = "text"
+) -> list[str]:
+    """Distinct word n-grams of a benchmark/eval set, collected to the
+    driver. Eval sets are SMALL, FIXED metadata (thousands of docs, not
+    the corpus), so the collect is bounded by construction — the same
+    class of driver-side metadata as IVF centroids or LSH planes."""
+    toks = benchmark.select(tokens(text_col).alias("w"))
+    grams = F.when(
+        F.size("w") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("w", i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return sorted(
+        r.gram
+        for r in toks.select(F.explode(grams).alias("gram")).distinct().collect()
+    )
+
+
+def contamination_flag(
+    documents: DataFrame,
+    bench_shingles: list[str],
+    n: int = 13,
+    text_col: str = "text",
+    out_col: str = "contaminated",
+) -> DataFrame:
+    """Streaming-compatible decontamination: adds a boolean column that is
+    true iff the document shares any word n-gram with the benchmark set.
+
+    contaminated_docs() aggregates over the corpus (per-pair collision
+    counts) and so cannot run on a streaming DataFrame; this form treats
+    the benchmark shingle set as static literal metadata, making the flag
+    a pure column expression (arrays_overlap) — no join, no aggregation —
+    that runs identically on batch and streaming inputs. Use it when the
+    eval set is small enough to pin per-task (the normal case); fall back
+    to contaminated_docs' broadcast join for very large benchmark sets.
+    Agreement with contaminated_docs is test-asserted."""
+    toks = documents.withColumn("_cf_w", tokens(text_col))
+    grams = F.when(
+        F.size("_cf_w") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_cf_w") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("_cf_w", i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    if not bench_shingles:
+        flag = F.lit(False)
+    else:
+        flag = F.arrays_overlap(
+            grams, F.array(*[F.lit(g) for g in bench_shingles])
+        )
+    return toks.withColumn(out_col, flag).drop("_cf_w")
+
+
 def scrub_pii(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

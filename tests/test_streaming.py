@@ -232,3 +232,108 @@ def test_streaming_media_decode_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("select * from media_decoded").collect()}
     assert got == batch and len(got) == 45
+
+
+def test_contamination_flag_agrees_with_join_form(spark):
+    """The streaming-compatible literal-set contamination flag must mark
+    exactly the docs contaminated_docs' aggregation join flags."""
+    from marie_ai_spark.operators.curation import (
+        benchmark_shingles,
+        contaminated_docs,
+        contamination_flag,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    via_join = {
+        r.doc_id
+        for r in contaminated_docs(corpus, bench, n=13)
+        .select("doc_id").distinct().collect()
+    }
+    shingles = benchmark_shingles(bench, n=13)
+    assert shingles, "benchmark slice produced no shingles"
+    flagged = contamination_flag(corpus, shingles, n=13)
+    via_flag = {
+        r.doc_id for r in flagged.filter("contaminated").collect()
+    }
+    assert via_flag == via_join and via_join
+    assert flagged.count() == corpus.count()  # flag never drops rows
+
+
+def test_streaming_curation_funnel_matches_batch(spark, tmp_path):
+    """q_curation_pipeline's stages under streaming, in the shape a
+    continuously-ingesting corpus would run them: the stateless stages
+    (stratified sample -> decontamination flag -> PII scrub) drain
+    incrementally under AvailableNow across TWO file-arrival waves into a
+    parquet sink; the corpus-level composition stage (per-source cap,
+    ordering-dependent — not expressible on an unbounded stream) then
+    runs as the periodic batch job over the ingested table. The end state
+    must equal the all-batch funnel over the full input row for row."""
+    from marie_ai_spark.operators.curation import (
+        benchmark_shingles,
+        contamination_flag,
+        gen_pii_docs,
+        per_source_cap,
+        scrub_pii,
+        stratified_sample,
+    )
+
+    inp = str(tmp_path / "in")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    # PII-bearing docs spread over sources/langs; two arrival waves
+    base = gen_pii_docs(spark, 240, seed=11).select(
+        "doc_id", "text",
+        F.concat(F.lit("s"), (F.col("doc_id") % 5).cast("string")).alias("source"),
+        F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de").alias("lang"),
+    )
+    bench = base.filter(F.col("doc_id") % 40 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    shingles = benchmark_shingles(bench, n=5)
+
+    def funnel(df):
+        sampled = stratified_sample(
+            df, "lang", {"en": 1.0, "de": 0.6}, "doc_id"
+        )
+        clean = contamination_flag(sampled, shingles, n=5).filter(
+            ~F.col("contaminated")
+        ).drop("contaminated")
+        return scrub_pii(clean, id_col="doc_id").join(
+            clean.select("doc_id", "source"), "doc_id"
+        )
+
+    def drain():
+        src = spark.readStream.schema(
+            "doc_id long, text string, source string, lang string"
+        ).parquet(inp)
+        q = (
+            funnel(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    base.filter(F.col("doc_id") < 120).write.parquet(inp)
+    drain()
+    base.filter(F.col("doc_id") >= 120).write.mode("append").parquet(inp)
+    drain()
+
+    capped_stream = per_source_cap(
+        spark.read.parquet(sink), "source", cap=12, key_col="doc_id"
+    )
+    got = {tuple(r) for r in capped_stream.collect()}
+
+    batch_funnel = funnel(base)
+    capped_batch = per_source_cap(
+        batch_funnel, "source", cap=12, key_col="doc_id"
+    )
+    want = {tuple(r) for r in capped_batch.select(*capped_stream.columns).collect()}
+    assert got == want and len(got) > 20
