@@ -295,6 +295,32 @@ def q_token_budget_sample(spark, sf):
     )
 
 
+def q_line_dedup(spark, sf):
+    """CCNet-style cross-corpus line dedup over the synthetic transcripts:
+    verbatim lines occurring in >= 5 distinct conversations (markdown
+    separator runs, BEGIN/END BOILERPLATE banners in this corpus) are
+    dropped from every turn. Oracle: pure SQL re-derivation over the
+    checked-in fixture parquet (tier 2)."""
+    tr = gen_spark(spark, _n_convs(sf), seed=42)
+    return dedup.line_dedup(tr, min_convs=5)
+
+
+def q_contamination_flag(spark, sf):
+    """Streaming-form decontamination: benchmark 13-gram set collected as
+    static metadata, contamination as a pure arrays_overlap column — the
+    shape that runs unchanged under Structured Streaming (parity-tested
+    against the aggregation-join form in tests/test_streaming.py)."""
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    sh = curation.benchmark_shingles(bench, n=13)
+    return curation.contamination_flag(corpus, sh, n=13).select(
+        "doc_id", "contaminated"
+    )
+
+
 def q_fluency(spark, sf):
     """CCNet-style fluency proxy: per-doc coverage of the document's
     char-trigram occurrences by its language's top-200 corpus profile —
@@ -831,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5
         "q_semantic_dedup": q_semantic_dedup,
         "q_token_budget_sample": q_token_budget_sample,
+        "q_line_dedup": q_line_dedup,
+        "q_contamination_flag": q_contamination_flag,
         # --- code changed in round 5 (hybrid lifecycle/broadcast gate,
         # JPEG restart-interval fallback, curation funnel streaming parity)
         "q_hybrid_annotate": q_hybrid_annotate,
@@ -2203,4 +2231,51 @@ def oracle_sql() -> dict[str, str]:
           ON r.conv_id = t.conv_id AND r.turn_idx = t.turn_idx
     """
     sqls["q_semantic_dedup"] = _semantic_dedup_oracle_sql()
+    sqls["q_line_dedup"] = f"""
+        WITH {_FIXTURE_LINES_CTE},
+        freq AS (
+            SELECT raw FROM (
+                SELECT raw, count(DISTINCT conv_id) AS c
+                FROM lines WHERE trim(raw) <> ''
+                GROUP BY raw
+            ) WHERE c >= 5
+        )
+        SELECT conv_id, turn_idx,
+               coalesce(string_agg(
+                   CASE WHEN raw NOT IN (SELECT raw FROM freq)
+                        THEN raw END,
+                   chr(10) ORDER BY line_no), '') AS clean_text,
+               count(*) FILTER (
+                   WHERE raw IN (SELECT raw FROM freq)
+               ) AS n_dropped
+        FROM lines
+        GROUP BY conv_id, turn_idx
+    """
+    sqls["q_contamination_flag"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, gram
+            FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(w) >= 13
+                                   THEN [array_to_string(w[i:i+12], ' ')
+                                         for i in range(1, len(w) - 11)]
+                                   ELSE []::VARCHAR[] END) AS gram
+                FROM tok
+            )
+        ),
+        bsh AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 50 = 0),
+        hits AS (
+            SELECT DISTINCT s.doc_id FROM sh s JOIN bsh USING (gram)
+            WHERE s.doc_id % 50 <> 0
+        )
+        SELECT d.doc_id,
+               (d.doc_id IN (SELECT doc_id FROM hits)) AS contaminated
+        FROM documents d WHERE d.doc_id % 50 <> 0
+    """
     return sqls

@@ -99,6 +99,8 @@ HEADLINE = [
     "q_source_cap",
     "q_token_budget_sample",
     "q_semantic_dedup",
+    "q_line_dedup",
+    "q_contamination_flag",
     "q_curation_pipeline",
     "q_fluency",
     "q_fluency_pretrained",
@@ -215,7 +217,7 @@ def main():
         **cal,
     }
     line = json.dumps(summary, separators=(",", ":"))
-    if len(line) > 1900:
+    if len(line) > 1960:  # line + newline must fit the 2000-char capture
         summary["queries"] = "BENCH/last_run.json"
         line = json.dumps(summary, separators=(",", ":"))
     print(line)

@@ -134,12 +134,16 @@ def contaminated_docs(
 
 
 def benchmark_shingles(
-    benchmark: DataFrame, n: int = 13, text_col: str = "text"
+    benchmark: DataFrame, n: int = 13, text_col: str = "text",
+    max_shingles: int = 200_000,
 ) -> list[str]:
     """Distinct word n-grams of a benchmark/eval set, collected to the
     driver. Eval sets are SMALL, FIXED metadata (thousands of docs, not
     the corpus), so the collect is bounded by construction — the same
-    class of driver-side metadata as IVF centroids or LSH planes."""
+    class of driver-side metadata as IVF centroids or LSH planes. The
+    bound is enforced (limit(max+1), the union-find-gate pattern): a
+    benchmark too big to pin per-task raises instead of flooding the
+    driver — use contaminated_docs' broadcast join for those."""
     toks = benchmark.select(tokens(text_col).alias("w"))
     grams = F.when(
         F.size("w") >= n,
@@ -150,10 +154,19 @@ def benchmark_shingles(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return sorted(
-        r.gram
-        for r in toks.select(F.explode(grams).alias("gram")).distinct().collect()
+    rows = (
+        toks.select(F.explode(grams).alias("gram"))
+        .distinct()
+        .limit(max_shingles + 1)
+        .collect()
     )
+    if len(rows) > max_shingles:
+        raise ValueError(
+            f"benchmark produced more than {max_shingles} distinct "
+            f"{n}-grams; too large for the literal-set form — use "
+            "contaminated_docs (broadcast join) instead"
+        )
+    return sorted(r.gram for r in rows)
 
 
 def contamination_flag(

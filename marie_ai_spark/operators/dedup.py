@@ -527,3 +527,62 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
         term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return per_doc.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def line_dedup(
+    transcripts: DataFrame,
+    min_convs: int = 5,
+    id_col: str = "conv_id",
+    ord_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style cross-corpus line deduplication: a non-blank line that
+    occurs (verbatim) in >= min_convs distinct conversations is boilerplate
+    chrome (headers, footers, cookie banners, separator runs) and is
+    dropped from EVERY turn; blank lines are structural and never dropped.
+    Reference analog: the content-vs-chrome cleaning station (M1) operating
+    at corpus level instead of per-document DOM level.
+
+    Returns (id, ord, clean_text, n_dropped) with clean_text the remaining
+    lines joined in original order ('' when everything was boilerplate).
+
+    Scale shape: frequency counting is one hash-partitioned groupBy with
+    map-side partial counts (the heavy-hitter lines are exactly the ones
+    that partial-aggregate best); the frequent-line set joins back as an
+    equality join on the line value — its size is the BOILERPLATE
+    vocabulary (small, corpus-size-independent), so AQE broadcasts it at
+    any corpus scale. No windows, no driver collect.
+    """
+    lines = transcripts.select(
+        F.col(id_col).alias("_ld_id"),
+        F.col(ord_col).alias("_ld_ord"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "_ld_no", "_ld_line"
+        ),
+    )
+    frequent = (
+        lines.filter(F.trim("_ld_line") != "")
+        .groupBy("_ld_line")
+        .agg(F.count_distinct("_ld_id").alias("_ld_n"))
+        .filter(F.col("_ld_n") >= min_convs)
+        .select("_ld_line", F.lit(True).alias("_ld_drop"))
+    )
+    flagged = lines.join(frequent, "_ld_line", "left").select(
+        "_ld_id", "_ld_ord", "_ld_no", "_ld_line",
+        F.coalesce("_ld_drop", F.lit(False)).alias("_ld_drop"),
+    )
+    parts = F.array_sort(
+        F.collect_list(F.struct("_ld_no", "_ld_drop", "_ld_line"))
+    )
+    kept = F.filter(parts, lambda s: ~s["_ld_drop"])
+    return flagged.groupBy("_ld_id", "_ld_ord").agg(
+        F.array_join(
+            F.transform(kept, lambda s: s["_ld_line"]), "\n"
+        ).alias("clean_text"),
+        F.sum(F.col("_ld_drop").cast("int")).cast("long").alias("n_dropped"),
+    ).select(
+        F.col("_ld_id").alias(id_col),
+        F.col("_ld_ord").alias(ord_col),
+        "clean_text",
+        "n_dropped",
+    )

@@ -690,3 +690,43 @@ def test_fluency_scores_semantics(spark):
     assert out[0].in_profile_frac == 1.0 and out[0].n_trigrams == 58
     assert out[100].in_profile_frac == 0.0 and out[100].n_trigrams == 10
     assert out[101].n_trigrams == 0 and out[101].in_profile_frac == 0.0
+
+
+def test_line_dedup_drops_boilerplate_keeps_blanks(spark):
+    """Cross-corpus line dedup: a verbatim line in >= min_convs distinct
+    conversations is dropped from every turn (even in conversations where
+    it appears once); blank lines and under-threshold lines stay; order
+    is preserved and an all-boilerplate turn becomes ''."""
+    from marie_ai_spark.operators.dedup import line_dedup
+
+    rows = [(f"c{i}", 0, "FOOTER\ncontent %d\n\nunique tail" % i)
+            for i in range(4)]
+    rows.append(("c4", 0, "FOOTER"))
+    rows.append(("c5", 0, "only content"))
+    sdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    )
+    got = {(r.conv_id, r.turn_idx): (r.clean_text, r.n_dropped)
+           for r in line_dedup(sdf, min_convs=5).collect()}
+    for i in range(4):
+        assert got[(f"c{i}", 0)] == ("content %d\n\nunique tail" % i, 1)
+    assert got[("c4", 0)] == ("", 1)          # all-boilerplate turn
+    assert got[("c5", 0)] == ("only content", 0)
+
+    # below threshold: nothing dropped
+    none = {r.conv_id: r.n_dropped
+            for r in line_dedup(sdf, min_convs=6).collect()}
+    assert all(v == 0 for v in none.values())
+
+
+def test_benchmark_shingles_bound_enforced(spark):
+    """The literal-set contamination path must refuse benchmarks larger
+    than max_shingles instead of flooding the driver."""
+    import pytest
+
+    from marie_ai_spark.operators.curation import benchmark_shingles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.select(F.col("doc_id").alias("bench_id"), "text")
+    with pytest.raises(ValueError, match="distinct"):
+        benchmark_shingles(bench, n=3, max_shingles=10)
