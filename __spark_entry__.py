@@ -321,6 +321,27 @@ def q_contamination_flag(spark, sf):
     )
 
 
+def q_dup_spans(spark, sf):
+    """Exact-substring duplicate span marking (Lee et al. ExactSubstr,
+    relational form): maximal merged token spans covered by any 20-token
+    window occurring more than once in the corpus."""
+    return dedup.duplicate_spans(_t(spark, sf, "documents"), n=20)
+
+
+def q_pack_seqs(spark, sf):
+    """GPT-style training-sequence packing over document token counts:
+    concat in deterministic md5 order, split at 512 tokens, one row per
+    (doc, sequence) span. Runs the two-phase bucketed global prefix sum;
+    oracle = the single global window."""
+    from marie_ai_spark.functions import token_count
+    from marie_ai_spark.operators.tokenize import pack_sequences
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", token_count("text").cast("int").alias("n_tok")
+    )
+    return pack_sequences(docs, "doc_id", "n_tok", seq_len=512)
+
+
 def q_fluency(spark, sf):
     """CCNet-style fluency proxy: per-doc coverage of the document's
     char-trigram occurrences by its language's top-200 corpus profile —
@@ -859,6 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_budget_sample": q_token_budget_sample,
         "q_line_dedup": q_line_dedup,
         "q_contamination_flag": q_contamination_flag,
+        "q_dup_spans": q_dup_spans,
+        "q_pack_seqs": q_pack_seqs,
         # --- code changed in round 5 (hybrid lifecycle/broadcast gate,
         # JPEG restart-interval fallback, curation funnel streaming parity)
         "q_hybrid_annotate": q_hybrid_annotate,
@@ -2250,6 +2273,67 @@ def oracle_sql() -> dict[str, str]:
                ) AS n_dropped
         FROM lines
         GROUP BY conv_id, turn_idx
+    """
+    sqls["q_dup_spans"] = """
+        WITH tok AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents WHERE trim(text) <> ''
+        ),
+        sh AS (
+            SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+19], ' ') AS g
+            FROM tok, unnest(range(1, len(w) - 18)) AS t(i)
+            WHERE len(w) >= 20
+        ),
+        dup AS (SELECT g FROM sh GROUP BY g HAVING count(*) > 1),
+        hits AS (SELECT doc_id, pos FROM sh JOIN dup USING (g)),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > coalesce(max(pos + 20) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), -1)
+                        THEN 1 ELSE 0 END AS new_isl
+            FROM hits
+        ),
+        isl2 AS (
+            SELECT doc_id, pos,
+                   sum(new_isl) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS isl
+            FROM isl
+        )
+        SELECT doc_id,
+               CAST(min(pos) AS INTEGER) AS start_tok,
+               CAST(max(pos) + 20 AS INTEGER) AS end_tok
+        FROM isl2 GROUP BY doc_id, isl
+    """
+    sqls["q_pack_seqs"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                        END AS INTEGER) AS n_tok,
+                   md5(CAST(doc_id AS VARCHAR)) AS p
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id, n_tok,
+                   CAST(coalesce(sum(n_tok) OVER (
+                       ORDER BY p, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS off
+            FROM t WHERE n_tok > 0
+        )
+        SELECT doc_id, CAST(s AS BIGINT) AS seq_id,
+               CAST(greatest(s * 512, off) - off AS INTEGER)
+                   AS start_in_item,
+               CAST(greatest(s * 512, off) - s * 512 AS INTEGER)
+                   AS start_in_seq,
+               CAST(least((s + 1) * 512, off + n_tok)
+                    - greatest(s * 512, off) AS INTEGER) AS span_len
+        FROM f, unnest(range(off // 512, (off + n_tok - 1) // 512 + 1))
+               AS t2(s)
     """
     sqls["q_contamination_flag"] = """
         WITH tok AS (

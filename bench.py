@@ -101,6 +101,8 @@ HEADLINE = [
     "q_semantic_dedup",
     "q_line_dedup",
     "q_contamination_flag",
+    "q_dup_spans",
+    "q_pack_seqs",
     "q_curation_pipeline",
     "q_fluency",
     "q_fluency_pretrained",
@@ -205,8 +207,9 @@ def main():
     except OSError:
         pass  # detail file is best-effort; the stdout line is the contract
 
-    # stdout line: compact separators + 2-decimal timings keep all 72+
-    # queries under the driver's 2000-char capture; the guard drops the
+    # stdout line: compact separators + 2-decimal timings keep all 78
+    # queries under the driver's 2000-char capture (host calibration and
+    # per-query steal live in BENCH/last_run.json); the guard drops the
     # per-query dict entirely rather than ever exceeding the window
     summary = {
         "metric": "total_headline_runtime",
@@ -214,7 +217,6 @@ def main():
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
-        **cal,
     }
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1960:  # line + newline must fit the 2000-char capture

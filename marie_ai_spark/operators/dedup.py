@@ -586,3 +586,73 @@ def line_dedup(
         "clean_text",
         "n_dropped",
     )
+
+
+def duplicate_spans(
+    documents: DataFrame,
+    n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplicate span marking (the relational form of Lee
+    et al. 2022's suffix-array dedup, arXiv:2107.06499): every position
+    whose n-token window occurs more than once ANYWHERE in the corpus
+    (other docs or elsewhere in the same doc) is duplicated; overlapping
+    duplicated windows merge into maximal token spans per document.
+    Downstream, the spans are cut out of training text (the paper's
+    ExactSubstr policy); here they are returned as
+    (id, start_tok, end_tok) with end exclusive.
+
+    Scale shape: positional n-gram fan-out -> one hash-partitioned
+    groupBy for the duplicate set (partial counts map-side; heavy
+    hitters combine best) -> join back on the gram -> per-document
+    interval merge. The merge window partitions by document, whose size
+    is bounded by DOCUMENT length, not corpus size. No suffix array is
+    materialized: the fixed-n window trades the paper's 'any length >=
+    50 bytes' generality for a shuffle-join shape that needs no global
+    sort at 100 TB.
+    """
+    toks = documents.select(
+        F.col(id_col).alias("_ds_id"), tokens(text_col).alias("w")
+    ).filter(F.size("w") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("w") - n),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice("w", i + 1, n))).alias("g"),
+        ),
+    )
+    pos = toks.select("_ds_id", F.explode(grams).alias("c")).select(
+        "_ds_id", F.col("c.pos").alias("pos"), F.col("c.g").alias("g")
+    )
+    dup = (
+        pos.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_ds_n"))
+        .filter(F.col("_ds_n") > 1)
+        .select("g")
+    )
+    hits = pos.join(dup, "g").select("_ds_id", "pos")
+    # gaps-and-islands: a new span starts when this window begins past
+    # the running max end of all previous windows
+    wp = Window.partitionBy("_ds_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        wp.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "_ds_new", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+    ).withColumn(
+        "_ds_isl",
+        F.sum("_ds_new").over(wp.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("_ds_id", "_ds_isl")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + n).alias("end_tok"),
+        )
+        .select(
+            F.col("_ds_id").alias(id_col),
+            F.col("start_tok").cast("int").alias("start_tok"),
+            F.col("end_tok").cast("int").alias("end_tok"),
+        )
+    )

@@ -23,7 +23,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # GPT-2-style pretokenizer, simplified to stdlib `re`
@@ -99,4 +99,111 @@ def chunk_tokens(
             F.posexplode(chunks).alias("chunk_idx", "chunk"),
         )
         .withColumn("chunk_len", F.size("chunk"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    seq_len: int = 512,
+) -> DataFrame:
+    """GPT-style training-sequence packing: items are concatenated in a
+    deterministic global order — (md5(key), key), the same engine-portable
+    priority as the sampling operators — and the token stream is split
+    into fixed seq_len windows. Emits one row per (item, sequence) span:
+    (key, seq_id, start_in_item, start_in_seq, span_len); an item whose
+    tokens cross a boundary contributes one row per sequence it touches
+    (the concat-then-split packing every causal-LM data loader performs).
+
+    Scale shape: a GLOBAL running offset cannot run as one window (the
+    whole corpus in one partition). Same two-phase plan as
+    token_budget_sample, without the source dimension: bucket by the
+    3-hex md5-priority prefix (bucket order is a prefix of the global
+    order), aggregate token sums per bucket (<= 4096 rows TOTAL), take
+    the exclusive bucket prefix over that bounded aggregate, then run
+    each bucket's exact per-item window over ~1/4096 of the corpus with
+    the bucket prefix as its base offset. Row-identical to the single
+    global window (test-asserted).
+    """
+    pr = F.md5(F.col(key_col).cast("string"))
+    base = (
+        df.filter(F.col(token_col) > 0)
+        .withColumn("_pk_pr", pr)
+        .withColumn(
+            "_pk_bucket",
+            F.conv(F.substring("_pk_pr", 1, 3), 16, 10).cast("int"),
+        )
+    )
+    agg = base.groupBy("_pk_bucket").agg(F.sum(token_col).alias("_pk_bsum"))
+    # the bucket aggregate is <= 4096 rows TOTAL — the single-partition
+    # window below runs over bounded metadata, not corpus data
+    wpre = Window.orderBy("_pk_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = agg.withColumn(
+        "_pk_prefix", F.coalesce(F.sum("_pk_bsum").over(wpre), F.lit(0))
+    ).select("_pk_bucket", "_pk_prefix")
+    win = (
+        Window.partitionBy("_pk_bucket")
+        .orderBy("_pk_pr", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.col("_pk_prefix") + F.coalesce(
+        F.sum(token_col).over(win), F.lit(0)
+    )
+    with_off = base.join(prefix, "_pk_bucket").withColumn("_pk_off", off)
+    return _explode_spans(with_off, key_col, token_col, seq_len)
+
+
+def pack_sequences_window(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    seq_len: int = 512,
+) -> DataFrame:
+    """Single-global-window reference form of pack_sequences (the oracle
+    shape); used by the equivalence test and the SQL oracle."""
+    w = Window.orderBy(
+        F.md5(F.col(key_col).cast("string")), key_col
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    with_off = df.filter(F.col(token_col) > 0).withColumn(
+        "_pk_off", F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    )
+    return _explode_spans(with_off, key_col, token_col, seq_len)
+
+
+def _explode_spans(with_off: DataFrame, key_col: str, token_col: str,
+                   seq_len: int) -> DataFrame:
+    """(rows with _pk_off) -> one row per sequence the item's token range
+    [_pk_off, _pk_off + tok) intersects."""
+    tok = F.col(token_col).cast("long")
+    off = F.col("_pk_off").cast("long")
+    first = F.floor(off / seq_len)
+    last = F.floor((off + tok - 1) / seq_len)
+    spans = F.transform(
+        F.sequence(first, last),
+        lambda s: F.struct(
+            s.alias("seq_id"),
+            (F.greatest(s * seq_len, off) - off).cast("int").alias(
+                "start_in_item"
+            ),
+            (F.greatest(s * seq_len, off) - s * seq_len).cast("int").alias(
+                "start_in_seq"
+            ),
+            (
+                F.least((s + 1) * seq_len, off + tok)
+                - F.greatest(s * seq_len, off)
+            ).cast("int").alias("span_len"),
+        ),
+    )
+    return (
+        with_off.select(key_col, F.explode(spans).alias("c"))
+        .select(
+            key_col,
+            F.col("c.seq_id").alias("seq_id"),
+            F.col("c.start_in_item").alias("start_in_item"),
+            F.col("c.start_in_seq").alias("start_in_seq"),
+            F.col("c.span_len").alias("span_len"),
+        )
     )

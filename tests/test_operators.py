@@ -730,3 +730,62 @@ def test_benchmark_shingles_bound_enforced(spark):
     bench = docs.select(F.col("doc_id").alias("bench_id"), "text")
     with pytest.raises(ValueError, match="distinct"):
         benchmark_shingles(bench, n=3, max_shingles=10)
+
+
+def test_duplicate_spans_merges_islands(spark):
+    """Planted exact-substring duplication: two docs share a 6-token run;
+    one doc also repeats a run internally. Overlapping duplicated windows
+    must merge into maximal spans with exclusive ends; unique docs emit
+    nothing."""
+    from marie_ai_spark.operators.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two {shared} three four"),
+        (2, f"{shared} nine ten eleven twelve"),
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8"),                      # unique
+        (4, f"{shared} mid1 mid2 {shared}"),                 # internal repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.start_tok, r.end_tok)
+           for r in duplicate_spans(df, n=4).collect()}
+    # doc1: shared run occupies tokens 2..7 -> windows 2..4 merge to [2,8)
+    assert (1, 2, 8) in got
+    # doc2: shared at 0..5 -> [0,6)
+    assert (2, 0, 6) in got
+    assert not any(d == 3 for d, *_ in got)
+    # doc4: two copies at 0..5 and 8..13 with a 2-token gap -> two spans
+    assert (4, 0, 6) in got and (4, 8, 14) in got
+
+
+def test_pack_sequences_two_phase_equals_window_and_covers(spark):
+    """The bucketed global prefix-sum packing must equal the single
+    global window exactly, and the spans must tile the token stream:
+    per-sequence span lengths sum to seq_len (except the last), and each
+    item's spans reassemble its full token count."""
+    from collections import defaultdict
+
+    from marie_ai_spark.operators.tokenize import (
+        pack_sequences,
+        pack_sequences_window,
+    )
+
+    rows = [(i, 1 + (i * 37) % 900) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    key = lambda r: (r.doc_id, r.seq_id, r.start_in_item,  # noqa: E731
+                     r.start_in_seq, r.span_len)
+    got = sorted(map(key, pack_sequences(df, "doc_id", "n_tok", 512).collect()))
+    want = sorted(map(key, pack_sequences_window(
+        df, "doc_id", "n_tok", 512).collect()))
+    assert got == want and got
+
+    per_seq = defaultdict(int)
+    per_doc = defaultdict(int)
+    for doc, seq, _si, _ss, ln in got:
+        per_seq[seq] += ln
+        per_doc[doc] += ln
+        assert 1 <= ln <= 512
+    assert per_doc == dict(rows)  # every token packed exactly once
+    last = max(per_seq)
+    assert all(v == 512 for s, v in per_seq.items() if s != last)
+    assert set(per_seq) == set(range(last + 1))  # no gaps in seq ids

@@ -253,6 +253,37 @@ def test_token_budget_sample_windows_are_bucket_partitioned(spark):
     )
 
 
+def test_pack_sequences_windows_are_bucket_partitioned(spark):
+    """pack_sequences: the per-item offset window partitions by the md5
+    bucket (skew-free); the only partition-less window runs over the
+    <=4096-row bucket aggregate, never the corpus."""
+    from marie_ai_spark.functions import token_count
+    from marie_ai_spark.operators.tokenize import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", token_count("text").cast("int").alias("n_tok")
+    )
+    plan = _plan(pack_sequences(docs, "doc_id", "n_tok", 512))
+    assert _count(plan, "CartesianProduct") == 0, plan[:800]
+    win_lines = [ln for ln in plan.splitlines()
+                 if "windowspecdefinition" in ln and "_pk_pr" in ln]
+    assert win_lines and all("_pk_bucket" in ln for ln in win_lines), (
+        "\n".join(win_lines)[:800]
+    )
+
+
+def test_duplicate_spans_no_cartesian(spark):
+    """duplicate_spans: the duplicate set joins back on the gram hash —
+    an equi-join, never a cartesian — and the island merge partitions by
+    document."""
+    from marie_ai_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(duplicate_spans(docs, n=20))
+    assert _count(plan, "CartesianProduct") == 0, plan[:800]
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0, plan[:800]
+
+
 def test_semantic_dedup_is_cell_partitioned(spark):
     """semantic_dedup: pair generation is an equi-join on the IVF cell —
     never a cartesian/nested-loop product — so the work is partitioned by
