@@ -1016,16 +1016,22 @@ _SIMHASH_SIG_CTE = """
 
 def _semantic_dedup_oracle_sql() -> str:
     """DuckDB oracle for q_semantic_dedup. The IVF quantizer is
-    recomputed bit-identically from the sf0.01 embeddings parquet (the
-    driver's fixed correctness scale) by the numpy twin and embedded as
-    full-precision literals; cell assignment (argmin distance, ties to
-    the lowest cell — list_distance is the monotone sqrt of the Spark
-    fold, so the ranking agrees) and the within-cell lowest-id near-dup
-    drop are re-derived in SQL."""
+    recomputed bit-identically from the embeddings parquet of the scale
+    the oracle runs at (the driver's correctness gate runs sf0.01 — the
+    default; local harnesses export SPARK_GRAFT_ORACLE_SF_DIR) by the
+    numpy twin and embedded as full-precision literals; cell assignment
+    (argmin distance, ties to the lowest cell — list_distance is the
+    monotone sqrt of the Spark fold, so the ranking agrees) and the
+    within-cell lowest-id near-dup drop are re-derived in SQL."""
+    import os
+
     from marie_ai_spark.operators.similarity import train_ivf_centroids_local
 
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
     cents = train_ivf_centroids_local(
-        "/root/testdata/sf0.01/embeddings.parquet", n_centroids=8, iters=3
+        f"{sf_dir}/embeddings.parquet", n_centroids=8, iters=3
     )
     values = ",\n                ".join(
         "({}, [{}]::DOUBLE[])".format(ci, ", ".join(repr(v) for v in c))

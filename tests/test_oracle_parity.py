@@ -50,6 +50,11 @@ def con():
     return c
 
 
+# data-derived oracle constants (the semantic-dedup quantizer) must come
+# from the same scale the views above read
+import os
+
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF
 ORACLES = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
 

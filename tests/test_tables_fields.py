@@ -560,14 +560,17 @@ def test_hybrid_empty_labels_returns_empty(spark):
 def test_hybrid_default_leaves_no_persisted_rdds(spark, corpus_sdf):
     """materialize='none' (the default) must not leave any persisted RDD
     behind after the result is materialized (ADVICE r4: the session-
-    lifetime MEMORY_AND_DISK persist leaked on every call)."""
+    lifetime MEMORY_AND_DISK persist leaked on every call). Compared
+    against the pre-call count: the shared test session may already hold
+    other modules' caches/localCheckpoints."""
     from marie_ai_spark.operators.hybrid import hybrid_annotate
 
     spark.catalog.clearCache()
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     n = hybrid_annotate(corpus_sdf).count()
     assert n > 0
-    persisted = spark.sparkContext._jsc.getPersistentRDDs()
-    assert persisted.size() == 0, f"{persisted.size()} persisted RDDs leaked"
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before, f"hybrid leaked {after - before} persisted RDDs"
 
 
 def test_hybrid_broadcast_gate_fallback_identical(spark, corpus_sdf):

@@ -92,6 +92,12 @@ def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
+    import os
+
+    # data-derived oracle constants (semantic-dedup quantizer) must come
+    # from the same scale the DuckDB views read
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf
+
     import __spark_entry__ as entrymod
     from marie_ai_spark.session import get_spark
 
