@@ -789,3 +789,25 @@ def test_pack_sequences_two_phase_equals_window_and_covers(spark):
     last = max(per_seq)
     assert all(v == 512 for s, v in per_seq.items() if s != last)
     assert set(per_seq) == set(range(last + 1))  # no gaps in seq ids
+
+
+def test_semantic_dedup_arrow_equals_relational_pairs(spark):
+    """The Arrow within-cell scorer must produce EXACTLY the drop set of
+    the relational fold-based pair join (bit-identical arithmetic claim),
+    on real embeddings."""
+    from marie_ai_spark.operators.similarity import (
+        _cell_neardup_drops,
+        cosine_neardup_pairs,
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_centroids=8, iters=3)
+    assigned = ivf_assign(emb.select("vec_id", "embedding"), cents)
+    via_arrow = {r.vec_id for r in
+                 _cell_neardup_drops(assigned, 0.45).collect()}
+    via_join = {r.vec_b for r in
+                cosine_neardup_pairs(assigned, 0.45, block_col="cell")
+                .collect()}
+    assert via_arrow == via_join and via_arrow
