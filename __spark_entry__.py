@@ -328,6 +328,13 @@ def q_dup_spans(spark, sf):
     return dedup.duplicate_spans(_t(spark, sf, "documents"), n=20)
 
 
+def q_cut_dup_spans(spark, sf):
+    """ExactSubstr duplicate REMOVAL: canonical (first) occurrence of
+    each duplicated 20-token window kept, all others cut; docs
+    reassembled from surviving tokens."""
+    return dedup.cut_duplicate_spans(_t(spark, sf, "documents"), n=20)
+
+
 def q_pack_seqs(spark, sf):
     """GPT-style training-sequence packing over document token counts:
     concat in deterministic md5 order, split at 512 tokens, one row per
@@ -881,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": q_line_dedup,
         "q_contamination_flag": q_contamination_flag,
         "q_dup_spans": q_dup_spans,
+        "q_cut_dup_spans": q_cut_dup_spans,
         "q_pack_seqs": q_pack_seqs,
         # --- code changed in round 5 (hybrid lifecycle/broadcast gate,
         # JPEG restart-interval fallback, curation funnel streaming parity)
@@ -2313,6 +2321,75 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(pos) AS INTEGER) AS start_tok,
                CAST(max(pos) + 20 AS INTEGER) AS end_tok
         FROM isl2 GROUP BY doc_id, isl
+    """
+    sqls["q_cut_dup_spans"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+19], ' ') AS g
+            FROM tok, unnest(range(1, len(w) - 18)) AS t(i)
+            WHERE len(w) >= 20
+        ),
+        ranked AS (
+            SELECT doc_id, pos,
+                   row_number() OVER (
+                       PARTITION BY g ORDER BY doc_id, pos
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY g) AS cnt
+            FROM sh
+        ),
+        hits AS (SELECT doc_id, pos FROM ranked WHERE cnt > 1 AND rn >= 2),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > coalesce(max(pos + 20) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), -1)
+                        THEN 1 ELSE 0 END AS new_isl
+            FROM hits
+        ),
+        isl2 AS (
+            SELECT doc_id, pos,
+                   sum(new_isl) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS isl
+            FROM isl
+        ),
+        spans AS (
+            SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e
+            FROM isl2 GROUP BY doc_id, isl
+        ),
+        toks AS (
+            SELECT doc_id, i - 1 AS pos, w[i] AS t
+            FROM tok, unnest(range(1, len(w) + 1)) AS u(i)
+        ),
+        kept AS (
+            SELECT tk.doc_id, tk.pos, tk.t
+            FROM toks tk
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans c
+                WHERE c.doc_id = tk.doc_id
+                  AND tk.pos >= c.s AND tk.pos < c.e
+            )
+        ),
+        agg AS (
+            SELECT doc_id,
+                   coalesce(string_agg(t, ' ' ORDER BY pos), '') AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.clean_text, '') AS clean_text,
+               CAST(len(tk.w) - coalesce(a.n_kept, 0) AS INTEGER)
+                   AS n_removed
+        FROM documents d
+        JOIN tok tk ON tk.doc_id = d.doc_id
+        LEFT JOIN agg a ON a.doc_id = d.doc_id
     """
     sqls["q_pack_seqs"] = """
         WITH t AS (

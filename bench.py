@@ -102,6 +102,7 @@ HEADLINE = [
     "q_line_dedup",
     "q_contamination_flag",
     "q_dup_spans",
+    "q_cut_dup_spans",
     "q_pack_seqs",
     "q_curation_pipeline",
     "q_fluency",

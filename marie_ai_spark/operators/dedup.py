@@ -656,3 +656,95 @@ def duplicate_spans(
             F.col("end_tok").cast("int").alias("end_tok"),
         )
     )
+
+
+def cut_duplicate_spans(
+    documents: DataFrame,
+    n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplicate CUTTING — Lee et al.'s ExactSubstr
+    removal policy on top of duplicate_spans' marking: for every n-token
+    window occurring more than once in the corpus, the CANONICAL (first
+    by (doc_id, pos)) occurrence is kept and every other occurrence is
+    cut; overlapping cut windows merge into maximal spans, and each
+    document is reassembled from its surviving tokens.
+
+    Returns (id, clean_text, n_removed) where clean_text is the kept
+    tokens joined by single spaces (tokenized reassembly — original
+    whitespace is not preserved, matching the training-corpus use where
+    text is re-tokenized downstream anyway) and n_removed counts cut
+    tokens.
+
+    Scale shape: the canonical occurrence per gram is a min-struct
+    AGGREGATION (partial-agg safe on hot grams — no per-gram window, so
+    a million-fold repeated gram never forms a single partition), the
+    join back is an equi-join on the gram hash, the island merge is
+    per-document, and the final token filter is a JVM lambda over the
+    doc's token array against its own (small) span list — no token-level
+    explosion or range join.
+    """
+    toks = documents.select(
+        F.col(id_col).alias("_cd_id"), tokens(text_col).alias("w")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("w") - n),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice("w", i + 1, n))).alias("g"),
+        ),
+    )
+    pos = (
+        toks.filter(F.size("w") >= n)
+        .select("_cd_id", F.explode(grams).alias("c"))
+        .select("_cd_id", F.col("c.pos").alias("pos"), F.col("c.g").alias("g"))
+    )
+    can = (
+        pos.groupBy("g")
+        .agg(
+            F.min(F.struct("_cd_id", "pos")).alias("first"),
+            F.count(F.lit(1)).alias("_cd_n"),
+        )
+        .filter(F.col("_cd_n") > 1)
+        .select("g", "first")
+    )
+    hits = pos.join(can, "g").filter(
+        (F.col("_cd_id") != F.col("first._cd_id"))
+        | (F.col("pos") != F.col("first.pos"))
+    ).select("_cd_id", "pos")
+    wp = Window.partitionBy("_cd_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        wp.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        hits.withColumn(
+            "_cd_new",
+            (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int"),
+        )
+        .withColumn(
+            "_cd_isl",
+            F.sum("_cd_new").over(wp.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("_cd_id", "_cd_isl")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + n).cast("int").alias("e"))
+        .groupBy("_cd_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("_cd_spans"))
+    )
+    joined = toks.join(spans, "_cd_id", "left").withColumn(
+        "_cd_spans",
+        F.coalesce(
+            "_cd_spans", F.array().cast("array<struct<s:int,e:int>>")
+        ),
+    )
+    kept = F.filter(
+        F.col("w"),
+        lambda t, i: ~F.exists(
+            F.col("_cd_spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+        ),
+    )
+    return joined.select(
+        F.col("_cd_id").alias(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("w") - F.size(kept)).cast("int").alias("n_removed"),
+    )

@@ -327,3 +327,114 @@ def _fluency_classify(
             F.coalesce("in_profile_frac", F.lit(0.0)).alias("in_profile_frac"),
         )
     )
+
+
+def lang_id_classify_stream(
+    documents: DataFrame, profile_rows: list, top_k: int = 50
+) -> DataFrame:
+    """Streaming APPLY for the pretrained language-ID model. The
+    relational classify's argmax window cannot run on an unbounded
+    stream, so the profile — tiny persisted model state, (p_lang, g,
+    rank) rows — is pinned per executor inside a STATELESS scalar pandas
+    UDF (the dictionary pattern) and each document scores locally.
+    Scoring is the same exact-integer sum as _lang_classify, the
+    normalization mirrors the JVM expression (ASCII \\s collapse +
+    lower), and docs with no profile hits are excluded the same way the
+    inner join excludes them — proven row-equal to lang_id_classify in
+    tests, on batch AND under availableNow streaming."""
+    import re as _re
+
+    by_gram: dict = {}
+    for r in profile_rows:
+        by_gram.setdefault(r["g"], []).append(
+            (r["p_lang"], top_k + 1 - r["rank"])
+        )
+
+    def fn(texts: pd.Series) -> pd.DataFrame:
+        langs, scores = [], []
+        for t in texts:
+            tt = (
+                _re.sub(r"\s+", " ", t, flags=_re.ASCII).lower()
+                if t is not None
+                else ""
+            )
+            acc: dict = {}
+            if len(tt) >= 3:
+                for g in {tt[i : i + 3] for i in range(len(tt) - 2)}:
+                    for pl, wgt in by_gram.get(g, ()):
+                        acc[pl] = acc.get(pl, 0) + wgt
+            if not acc:
+                langs.append(None)
+                scores.append(None)
+            else:
+                pl, sc = min(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+                langs.append(pl)
+                scores.append(sc)
+        return pd.DataFrame(
+            {"predicted_lang": langs,
+             "score": pd.array(scores, dtype="Int64")}
+        )
+
+    d = F.pandas_udf(fn, "struct<predicted_lang:string,score:bigint>")(
+        F.col("text")
+    )
+    return (
+        documents.select(
+            "doc_id", F.col("lang").alias("actual_lang"), d.alias("d")
+        )
+        .filter(F.col("d.predicted_lang").isNotNull())
+        .select(
+            "doc_id",
+            "actual_lang",
+            F.col("d.predicted_lang").alias("predicted_lang"),
+            F.col("d.score").alias("score"),
+        )
+    )
+
+
+def fluency_classify_stream(
+    documents: DataFrame, profile_rows: list
+) -> DataFrame:
+    """Streaming APPLY for the pretrained fluency profile: the (lang, pg)
+    set pins per executor in a stateless scalar UDF that emits the EXACT
+    INTEGER components (n_trigrams, covered); the fraction + HALF_UP
+    rounding stay JVM-side as the identical expression the batch path
+    evaluates, so results are bit-equal to fluency_classify (tested on
+    batch and under availableNow)."""
+    import re as _re
+
+    pset = frozenset((r["lang"], r["pg"]) for r in profile_rows)
+
+    def fn(texts: pd.Series, langs: pd.Series) -> pd.DataFrame:
+        ns, covs = [], []
+        for t, lg in zip(texts, langs):
+            tt = (
+                _re.sub(r"\s+", " ", t, flags=_re.ASCII).lower()
+                if t is not None
+                else ""
+            )
+            if len(tt) < 3:
+                ns.append(0)
+                covs.append(0)
+                continue
+            n = len(tt) - 2
+            cov = sum(
+                1 for i in range(n) if (lg, tt[i : i + 3]) in pset
+            )
+            ns.append(n)
+            covs.append(cov)
+        return pd.DataFrame({"n": ns, "cov": covs})
+
+    d = F.pandas_udf(fn, "struct<n:bigint,cov:bigint>")(
+        F.col("text"), F.col("lang")
+    )
+    return documents.select(
+        "doc_id", "lang", d.alias("d")
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("d.n").alias("n_trigrams"),
+        F.coalesce(
+            F.round(F.col("d.cov") / F.col("d.n"), 6), F.lit(0.0)
+        ).alias("in_profile_frac"),
+    )

@@ -811,3 +811,28 @@ def test_semantic_dedup_arrow_equals_relational_pairs(spark):
                 cosine_neardup_pairs(assigned, 0.45, block_col="cell")
                 .collect()}
     assert via_arrow == via_join and via_arrow
+
+
+def test_cut_duplicate_spans_keeps_canonical(spark):
+    """ExactSubstr removal: the globally-first occurrence of a duplicated
+    window survives, later occurrences are cut (including internal
+    repeats); unique docs and sub-window docs pass through unchanged,
+    reassembled with single spaces."""
+    from marie_ai_spark.operators.dedup import cut_duplicate_spans
+
+    shared = "alpha beta gamma delta"
+    rows = [
+        (1, f"intro {shared} outro"),          # canonical (lowest doc_id)
+        (2, f"{shared} tail1 tail2"),          # cut at 0..3
+        (3, f"pre1 pre2 {shared}"),            # cut at 2..5
+        (4, "tiny doc"),                       # < n tokens, untouched
+        (5, f"{shared} mid {shared}"),         # both occurrences cut
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in cut_duplicate_spans(df, n=4).collect()}
+    assert got[1] == (f"intro {shared} outro", 0)
+    assert got[2] == ("tail1 tail2", 4)
+    assert got[3] == ("pre1 pre2", 4)
+    assert got[4] == ("tiny doc", 0)
+    assert got[5] == ("mid", 8)

@@ -337,3 +337,62 @@ def test_streaming_curation_funnel_matches_batch(spark, tmp_path):
     )
     want = {tuple(r) for r in capped_batch.select(*capped_stream.columns).collect()}
     assert got == want and len(got) > 20
+
+
+def test_streaming_pretrained_classify_matches_batch(spark, tmp_path):
+    """The train/apply story under streaming: both pretrained classifiers
+    (language-ID argmax, fluency coverage) run their APPLY stage on an
+    unbounded stream via the dictionary-pattern stateless UDFs, and the
+    availableNow drain must equal the relational batch classify row for
+    row — including the integer scores and the HALF_UP-rounded
+    fraction."""
+    from marie_ai_spark.operators.textstats import (
+        fluency_classify,
+        fluency_classify_stream,
+        fluency_profile_table,
+        lang_id_classify,
+        lang_id_classify_stream,
+        lang_profile_table,
+    )
+
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(docs_path)
+    lang_prof = lang_profile_table(docs, top_k=50)
+    flu_prof = fluency_profile_table(docs, top_k=200)
+    lang_rows = [r.asDict() for r in lang_prof.collect()]
+    flu_rows = [r.asDict() for r in flu_prof.collect()]
+
+    # batch parity: dictionary UDF == relational classify
+    want_lang = {tuple(r) for r in lang_id_classify(docs, lang_prof).collect()}
+    got_lang = {tuple(r)
+                for r in lang_id_classify_stream(docs, lang_rows).collect()}
+    assert got_lang == want_lang and got_lang
+
+    want_flu = {tuple(r) for r in fluency_classify(docs, flu_prof).collect()}
+    got_flu = {tuple(r)
+               for r in fluency_classify_stream(docs, flu_rows).collect()}
+    assert got_flu == want_flu and got_flu
+
+    # streaming parity: availableNow drain equals batch (file stream
+    # sources need a DIRECTORY, so stage the table into one)
+    stream_dir = str(tmp_path / "docs_stream")
+    docs.write.parquet(stream_dir)
+    src = spark.readStream.schema(docs.schema).parquet(stream_dir)
+    for name, fn in (
+        ("lid_stream", lambda s: lang_id_classify_stream(s, lang_rows)),
+        ("flu_stream", lambda s: fluency_classify_stream(s, flu_rows)),
+    ):
+        q = (
+            fn(src)
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got_s_lang = {tuple(r)
+                  for r in spark.sql("select * from lid_stream").collect()}
+    got_s_flu = {tuple(r)
+                 for r in spark.sql("select * from flu_stream").collect()}
+    assert got_s_lang == want_lang
+    assert got_s_flu == want_flu
