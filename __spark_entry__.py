@@ -328,6 +328,12 @@ def q_dup_spans(spark, sf):
     return dedup.duplicate_spans(_t(spark, sf, "documents"), n=20)
 
 
+def q_fluency_buckets(spark, sf):
+    """CCNet head/middle/tail composition buckets per language by exact
+    fluency-score percentiles (broadcast cutoffs, no corpus window)."""
+    return textstats.fluency_buckets(_t(spark, sf, "documents"))
+
+
 def q_cut_dup_spans(spark, sf):
     """ExactSubstr duplicate REMOVAL: canonical (first) occurrence of
     each duplicated 20-token window kept, all others cut; docs
@@ -890,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_spans": q_dup_spans,
         "q_cut_dup_spans": q_cut_dup_spans,
         "q_pack_seqs": q_pack_seqs,
+        "q_fluency_buckets": q_fluency_buckets,
         # --- code changed in round 5 (hybrid lifecycle/broadcast gate,
         # JPEG restart-interval fallback, curation funnel streaming parity)
         "q_hybrid_annotate": q_hybrid_annotate,
@@ -2229,6 +2236,20 @@ def oracle_sql() -> dict[str, str]:
     # fused forms — same oracles, independently re-derived in SQL
     sqls["q_lang_id_pretrained"] = sqls["q_lang_id"]
     sqls["q_fluency_pretrained"] = sqls["q_fluency"]
+    sqls["q_fluency_buckets"] = f"""
+        WITH scored AS ({sqls["q_fluency"]}),
+        cuts AS (
+            SELECT lang,
+                   quantile_cont(in_profile_frac, 0.33) AS c_lo,
+                   quantile_cont(in_profile_frac, 0.67) AS c_hi
+            FROM scored GROUP BY lang
+        )
+        SELECT s.doc_id, s.lang, s.in_profile_frac,
+               CASE WHEN s.in_profile_frac >= c.c_hi THEN 'head'
+                    WHEN s.in_profile_frac >= c.c_lo THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s JOIN cuts c USING (lang)
+    """
     # faithfulness: SQL re-derivation from the transcripts fixture x the
     # tier-3 extraction fixture (marker check + token-support ratio of
     # exact integers)

@@ -107,6 +107,7 @@ HEADLINE = [
     "q_curation_pipeline",
     "q_fluency",
     "q_fluency_pretrained",
+    "q_fluency_buckets",
     "q_faithfulness",
 ]
 
@@ -208,15 +209,16 @@ def main():
     except OSError:
         pass  # detail file is best-effort; the stdout line is the contract
 
-    # stdout line: compact separators + 2-decimal timings keep all 78
-    # queries under the driver's 2000-char capture (host calibration and
-    # per-query steal live in BENCH/last_run.json); the guard drops the
-    # per-query dict entirely rather than ever exceeding the window
+    # stdout line: compact separators + 1-decimal timings keep all 80
+    # queries under the driver's 2000-char capture (3-decimal timings,
+    # host calibration and per-query steal live in BENCH/last_run.json);
+    # the guard drops the per-query dict entirely rather than ever
+    # exceeding the window
     summary = {
         "metric": "total_headline_runtime",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": {k: round(v, 1) for k, v in timings.items()},
         "sf": sf,
     }
     line = json.dumps(summary, separators=(",", ":"))

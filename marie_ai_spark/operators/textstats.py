@@ -438,3 +438,35 @@ def fluency_classify_stream(
             F.round(F.col("d.cov") / F.col("d.n"), 6), F.lit(0.0)
         ).alias("in_profile_frac"),
     )
+
+
+def fluency_buckets(
+    documents: DataFrame, lo: float = 0.33, hi: float = 0.67
+) -> DataFrame:
+    """CCNet-style composition buckets: per language, documents split
+    into head / middle / tail by exact interpolated percentiles of the
+    fluency score (CCNet buckets by LM perplexity with head = most
+    fluent; here higher profile coverage = more fluent). The per-lang
+    cutoffs are a tiny aggregate broadcast back onto the scores — no
+    window over the corpus. Downstream mixes typically keep head+middle
+    and sample tail.
+
+    Engine parity: Spark `percentile` == DuckDB `quantile_cont`
+    (established by q_percentiles), and both sides compare the same
+    rounded score against the same cutoff, so bucket boundaries agree
+    exactly."""
+    scores = fluency_scores(documents)
+    cuts = scores.groupBy("lang").agg(
+        F.expr(f"percentile(in_profile_frac, {lo})").alias("c_lo"),
+        F.expr(f"percentile(in_profile_frac, {hi})").alias("c_hi"),
+    )
+    return (
+        scores.join(F.broadcast(cuts), "lang")
+        .withColumn(
+            "bucket",
+            F.when(F.col("in_profile_frac") >= F.col("c_hi"), "head")
+            .when(F.col("in_profile_frac") >= F.col("c_lo"), "middle")
+            .otherwise("tail"),
+        )
+        .select("doc_id", "lang", "in_profile_frac", "bucket")
+    )

@@ -836,3 +836,76 @@ def test_cut_duplicate_spans_keeps_canonical(spark):
     assert got[3] == ("pre1 pre2", 4)
     assert got[4] == ("tiny doc", 0)
     assert got[5] == ("mid", 8)
+
+
+def test_duplicate_span_ops_match_python_twin_property(spark):
+    """Property test: on random small corpora with forced repetition,
+    duplicate_spans and cut_duplicate_spans must match a direct pure-
+    Python computation of the same definitions (window multiset, island
+    merge, canonical-first cutting)."""
+    import random
+
+    from marie_ai_spark.operators.dedup import (
+        cut_duplicate_spans,
+        duplicate_spans,
+    )
+
+    def py_spans(corpus, n):
+        from collections import Counter
+        occ = []
+        for did, text in corpus:
+            w = text.split()
+            occ += [(did, i, " ".join(w[i:i + n]))
+                    for i in range(len(w) - n + 1)]
+        cnt = Counter(g for _, _, g in occ)
+        marks, cuts = {}, {}
+        first = {}
+        for did, i, g in sorted(occ):
+            if cnt[g] > 1 and g not in first:
+                first[g] = (did, i)
+        for did, i, g in occ:
+            if cnt[g] > 1:
+                marks.setdefault(did, []).append(i)
+                if first[g] != (did, i):
+                    cuts.setdefault(did, []).append(i)
+
+        def islands(positions):
+            out = []
+            for p in sorted(positions):
+                if out and p <= out[-1][1]:
+                    out[-1][1] = max(out[-1][1], p + n)
+                else:
+                    out.append([p, p + n])
+            return [tuple(x) for x in out]
+
+        want_marks = {(d, s, e) for d, ps in marks.items()
+                      for s, e in islands(ps)}
+        want_cut = {}
+        for did, text in corpus:
+            w = text.split()
+            spans = islands(cuts.get(did, []))
+            kept = [t for i, t in enumerate(w)
+                    if not any(s <= i < e for s, e in spans)]
+            want_cut[did] = (" ".join(kept), len(w) - len(kept))
+        return want_marks, want_cut
+
+    rng = random.Random(7)
+    vocab = [f"w{k}" for k in range(12)]
+    for trial in range(5):
+        n = rng.choice([2, 3])
+        corpus = []
+        motif = " ".join(rng.choices(vocab, k=n + rng.randint(0, 2)))
+        for did in range(8):
+            words = rng.choices(vocab, k=rng.randint(0, 14))
+            if rng.random() < 0.7:
+                at = rng.randint(0, len(words))
+                words[at:at] = motif.split()
+            corpus.append((did, " ".join(words)))
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        want_marks, want_cut = py_spans(corpus, n)
+        got_marks = {(r.doc_id, r.start_tok, r.end_tok)
+                     for r in duplicate_spans(df, n=n).collect()}
+        assert got_marks == want_marks, (trial, n)
+        got_cut = {r.doc_id: (r.clean_text, r.n_removed)
+                   for r in cut_duplicate_spans(df, n=n).collect()}
+        assert got_cut == want_cut, (trial, n)
