@@ -272,6 +272,23 @@ def test_pack_sequences_windows_are_bucket_partitioned(spark):
     )
 
 
+def test_fluency_buckets_broadcasts_cutoffs(spark):
+    """fluency_buckets: the per-lang percentile cutoffs join back as a
+    BROADCAST (tiny aggregate), and no window function runs over the
+    corpus — bucketing is a pure comparison."""
+    from marie_ai_spark.operators.textstats import fluency_buckets
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(fluency_buckets(docs))
+    assert _count(plan, "BroadcastHashJoin") >= 1, plan[:800]
+    assert _count(plan, "CartesianProduct") == 0, plan[:800]
+    # the only Window ops belong to the profile TRAIN side (rank <= k),
+    # never to the bucketing of scored docs
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "in_profile_frac" not in ln, ln[:300]
+
+
 def test_duplicate_spans_no_cartesian(spark):
     """duplicate_spans: the duplicate set joins back on the gram hash —
     an equi-join, never a cartesian — and the island merge partitions by
