@@ -328,6 +328,16 @@ def q_dup_spans(spark, sf):
     return dedup.duplicate_spans(_t(spark, sf, "documents"), n=20)
 
 
+def q_bm25(spark, sf):
+    """BM25 lexical retrieval: top-20 documents for a 4-term query —
+    the keyword-side complement to the ANN embedding queries."""
+    return textstats.bm25_topk(
+        _t(spark, sf, "documents"),
+        ["spark", "merge", "window", "customer"],
+        k=20,
+    )
+
+
 def q_fluency_buckets(spark, sf):
     """CCNet head/middle/tail composition buckets per language by exact
     fluency-score percentiles (broadcast cutoffs, no corpus window)."""
@@ -897,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cut_dup_spans": q_cut_dup_spans,
         "q_pack_seqs": q_pack_seqs,
         "q_fluency_buckets": q_fluency_buckets,
+        "q_bm25": q_bm25,
         # --- code changed in round 5 (hybrid lifecycle/broadcast gate,
         # JPEG restart-interval fallback, curation funnel streaming parity)
         "q_hybrid_annotate": q_hybrid_annotate,
@@ -2236,6 +2247,36 @@ def oracle_sql() -> dict[str, str]:
     # fused forms — same oracles, independently re-derived in SQL
     sqls["q_lang_id_pretrained"] = sqls["q_lang_id"]
     sqls["q_fluency_pretrained"] = sqls["q_fluency"]
+    sqls["q_bm25"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+            FROM documents
+        ),
+        d AS (SELECT doc_id, w, len(w) AS dl FROM tok),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+        tf AS (
+            SELECT doc_id, dl, t, count(*) AS tf
+            FROM (SELECT doc_id, dl, unnest(w) AS t FROM d)
+            WHERE t IN ('spark', 'merge', 'window', 'customer')
+            GROUP BY doc_id, dl, t
+        ),
+        dfq AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+        per AS (
+            SELECT tf.doc_id, tf.t,
+                   ln(1.0 + (CAST(s.n AS DOUBLE) - dfq.df + 0.5)
+                            / (dfq.df + 0.5))
+                   * (tf.tf * 2.2
+                      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
+                       AS sc
+            FROM tf CROSS JOIN stats s JOIN dfq ON tf.t = dfq.t
+        )
+        SELECT doc_id,
+               round(list_sum(list(sc ORDER BY t)), 4) AS bm25
+        FROM per GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 20
+    """
     sqls["q_fluency_buckets"] = f"""
         WITH scored AS ({sqls["q_fluency"]}),
         cuts AS (

@@ -108,6 +108,7 @@ HEADLINE = [
     "q_fluency",
     "q_fluency_pretrained",
     "q_fluency_buckets",
+    "q_bm25",
     "q_faithfulness",
 ]
 

@@ -470,3 +470,78 @@ def fluency_buckets(
         )
         .select("doc_id", "lang", "in_profile_frac", "bucket")
     )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 lexical retrieval (Robertson/Sparck Jones): top-k documents
+    for a bag of query terms — the keyword-side retrieval that pairs
+    with the ANN embedding side for query-based corpus slicing ("find
+    training docs about X"). Fully relational:
+
+      - one narrow pass tokenizes and takes per-doc length;
+      - corpus stats (N, avgdl) are a 1-row aggregate (driver metadata,
+        like IVF centroids);
+      - term frequencies exist ONLY for query terms (`isin` prunes the
+        explode before the shuffle), so the aggregate is
+        |matching docs x terms|, not corpus-wide;
+      - document frequencies are a <= |terms|-row aggregate joined back
+        as a broadcast;
+      - the per-doc score folds term scores in TERM-ASCENDING order
+        (sort_array + aggregate) so the float sum is order-deterministic
+        and hashes identically on any engine.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the non-negative variant);
+    score rounded to 4 decimals; ties broken by doc_id.
+    """
+    toks = documents.select(
+        "doc_id", tokens("text").alias("w")
+    ).withColumn("dl", F.size("w"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    n_docs, avgdl = stats["n"], stats["avgdl"] or 1.0
+
+    tf = (
+        toks.select("doc_id", "dl", F.explode("w").alias("t"))
+        .filter(F.col("t").isin(list(query_terms)))
+        .groupBy("doc_id", "dl", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("t").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl))))
+    )
+    per_term = tf.join(F.broadcast(df_tbl), "t").select(
+        "doc_id", "t", term_score.alias("s")
+    )
+    folded = (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("t", "s"))).alias("parts")
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.aggregate(
+                    F.col("parts"),
+                    F.lit(0.0),
+                    lambda acc, p: acc + p["s"],
+                ),
+                4,
+            ).alias("bm25"),
+        )
+    )
+    return folded.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)

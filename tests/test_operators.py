@@ -909,3 +909,37 @@ def test_duplicate_span_ops_match_python_twin_property(spark):
         got_cut = {r.doc_id: (r.clean_text, r.n_removed)
                    for r in cut_duplicate_spans(df, n=n).collect()}
         assert got_cut == want_cut, (trial, n)
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 against hand-computed scores on a 3-doc corpus: idf ordering
+    (rare term outweighs common), tf saturation, and length
+    normalization all visible."""
+    import math
+
+    from marie_ai_spark.operators.textstats import bm25_topk
+
+    rows = [
+        (1, "apple banana apple"),         # tf(apple)=2, dl=3
+        (2, "apple cherry cherry cherry"), # tf(cherry)=3, dl=4
+        (3, "durian durian durian"),       # no query terms
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.bm25
+           for r in bm25_topk(df, ["apple", "cherry"], k=10).collect()}
+    n, avgdl, k1, b = 3, 10 / 3, 1.2, 0.75
+
+    def idf(dfreq):
+        return math.log(1.0 + (float(n) - dfreq + 0.5) / (dfreq + 0.5))
+
+    def ts(tf, dl, dfreq):
+        return idf(dfreq) * (
+            tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        )
+
+    assert got[1] == round(ts(2, 3, 2), 4)
+    assert got[2] == round(ts(1, 4, 2) + ts(3, 4, 1), 4)
+    assert 3 not in got
+    # the rare term (cherry, df=1) makes doc 2 win despite lower tf of
+    # the shared term
+    assert got[2] > got[1]
