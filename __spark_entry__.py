@@ -208,7 +208,15 @@ def q_value_range_join(spark, sf):
 
 
 def q_dedup_exact(spark, sf):
-    return dedup.exact_duplicates(_t(spark, sf, "documents"))
+    """Exact dedup over the corpus UNION a re-keyed echo of every 37th
+    document (VERDICT r5: the raw sf0.01 corpus has no exact duplicates,
+    so the driver-gate row was passing on an empty result — the echo
+    makes the hash check load-bearing at every sf)."""
+    docs = _t(spark, sf, "documents")
+    echo = docs.filter(F.col("doc_id") % 37 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    return dedup.exact_duplicates(docs.unionByName(echo))
 
 
 def q_ngram_jaccard(spark, sf):
@@ -510,8 +518,13 @@ def q_embed_ivf_topk(spark, sf):
 
 
 def q_anti_join(spark, sf):
+    """Customers with no URGENT order (VERDICT r5: every sf0.01 customer
+    has at least one order, so the unfiltered anti-join was passing on an
+    empty result; anti-joining against the urgent slice keeps the same
+    left-anti plan while guaranteeing non-empty driver evidence)."""
     return relational.customers_without_orders(
-        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT"),
     )
 
 
@@ -1259,10 +1272,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY bucket_id, lo, hi
         """,
         "q_dedup_exact": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text
+                FROM documents WHERE doc_id % 37 = 0
+            )
             SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
                    count(*) AS n_dups,
                    min(doc_id) AS keeper_doc_id
-            FROM documents
+            FROM corpus
             GROUP BY 1
             HAVING count(*) > 1
         """,
@@ -1549,7 +1568,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name, c_mktsegment
             FROM customer
             WHERE NOT EXISTS (
-                SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT'
             )
         """,
         "q_semi_join": """

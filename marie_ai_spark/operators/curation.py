@@ -195,15 +195,24 @@ def contamination_flag(
     (benchmark_shingles enforces the bound). Agreement with
     contaminated_docs is test-asserted.
 
-    Tokenization parity: str.split() (whitespace runs, leading/trailing
-    ignored) equals the JVM tokens() helper (regex \\s+ split of the
-    trimmed string) for every input."""
+    Tokenization parity (ADVICE r5, empirically pinned against the JVM):
+    the twin of tokens() is strip(' ') — Spark trim removes ONLY ASCII
+    spaces — then re.split(r"\\s+", flags=re.ASCII), which like Java
+    split(-1) keeps the empty tokens a leading/trailing tab produces and
+    keeps NBSP/U+2028 INSIDE tokens. str.split() would diverge on both
+    (it splits on Unicode whitespace and drops empties), giving such
+    documents different 13-grams than benchmark_shingles computes.
+    Bit-equality is property-tested (tests/test_curation.py)."""
+    import re
+
     bs = frozenset(bench_shingles)
+    ws = re.compile(r"\s+", flags=re.ASCII)
 
     def fn(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            w = t.split() if t is not None else []
+            s = t.strip(" ") if t is not None else ""
+            w = ws.split(s) if s else []
             out.append(
                 any(
                     " ".join(w[i : i + n]) in bs
@@ -348,9 +357,13 @@ def token_budget_sample(
     whole = joined.filter(
         F.col("_tb_prefix") + F.col("_tb_bsum") <= F.col("_tb_budget")
     )
+    # boundary gate is <=, not <: a zero-token row can LEAD a bucket whose
+    # exclusive prefix equals the budget exactly — the single-window form
+    # keeps it (cum == budget), so the bucket must run the exact window
+    # rather than be classified wholly-past.
     boundary = joined.filter(
         (F.col("_tb_prefix") + F.col("_tb_bsum") > F.col("_tb_budget"))
-        & (F.col("_tb_prefix") < F.col("_tb_budget"))
+        & (F.col("_tb_prefix") <= F.col("_tb_budget"))
     )
     win = (
         Window.partitionBy(source_col, "_tb_bucket")

@@ -269,9 +269,27 @@ def hybrid_annotate(
     if materialize == "persist":
         normed = candidates.persist(StorageLevel.MEMORY_AND_DISK)
     elif materialize == "staging":
-        import tempfile
+        # The staging write happens on EXECUTORS, so a driver-local
+        # tempdir only works in local mode — on a cluster the caller must
+        # hand us a shared path (HDFS/S3/checkpoint volume). A caller-
+        # provided staging_dir is caller-owned (no cleanup here, the
+        # returned DataFrame reads it lazily); the local-mode default is
+        # reaped at process exit.
+        if staging_dir is not None:
+            path = staging_dir
+        elif spark.sparkContext.master.startswith("local"):
+            import atexit
+            import shutil
+            import tempfile
 
-        path = staging_dir or tempfile.mkdtemp(prefix="hybrid_cand_")
+            path = tempfile.mkdtemp(prefix="hybrid_cand_")
+            atexit.register(shutil.rmtree, path, ignore_errors=True)
+        else:
+            raise ValueError(
+                "materialize='staging' on a non-local master requires an "
+                "explicit staging_dir reachable by every executor (a "
+                "driver-local tempdir is not)"
+            )
         candidates.write.mode("overwrite").parquet(path)
         normed = spark.read.parquet(path)
     else:  # "none": narrow recompute at join-back, nothing outlives the call

@@ -66,6 +66,17 @@ def done_partitions(spark: SparkSession, path: str, run_id: str) -> set[int]:
 
 
 def append_lineage(spark: SparkSession, path: str, rows: list[dict]) -> None:
+    """Append lineage rows so that CONCURRENT writers never collide.
+
+    A plain `.mode("append")` stages every job under the SAME
+    `<path>/_temporary/0` dir (FileOutputCommitter), so the first job to
+    commit deletes a concurrent job's staged files — the reason the seam
+    historically disclaimed multi-writer use. Instead each append writes
+    to a private `<path>__stage_<uuid>` dir and renames its part files
+    into the table under uuid-unique names (one atomic rename per file on
+    any Hadoop FS). Disjoint-bucket jobs can therefore append lineage
+    concurrently; proven by tests/test_resume.py's concurrent-writer
+    test."""
     if not rows:
         return
     df = spark.createDataFrame(
@@ -85,7 +96,21 @@ def append_lineage(spark: SparkSession, path: str, rows: list[dict]) -> None:
         ],
         LINEAGE_SCHEMA,
     )
-    df.coalesce(1).write.mode("append").parquet(path)
+    tag = uuid.uuid4().hex
+    stage = f"{path}__stage_{tag}"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(Path(path))
+    i = 0
+    for st in fs.listStatus(Path(stage)):
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        fs.rename(st.getPath(), Path(f"{path}/part-{tag}-{i}.parquet"))
+        i += 1
+    fs.delete(Path(stage), True)
 
 
 def partition_metrics(extracted_with_bucket: DataFrame) -> DataFrame:

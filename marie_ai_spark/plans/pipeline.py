@@ -46,11 +46,20 @@ def run_extract(
     rules=DEFAULT_RULES,
     backend: str = "parquet",
     max_records_per_file: int = 1_000_000,
+    buckets: list[int] | None = None,
 ) -> dict:
     """Run (or resume) an extraction over `input_path` transcripts.
 
     max_buckets limits how many pending buckets this invocation processes —
     used by tests to simulate a mid-run failure before resume.
+    `buckets` restricts the run to an explicit bucket subset — the sharding
+    knob for running SEVERAL extract jobs side by side: jobs over DISJOINT
+    bucket sets are multi-writer safe (the data write stages under a
+    per-job uuid dir and commits disjoint partition dirs; lineage appends
+    rename uuid-unique files) and converge to the same table as one
+    sequential run — proven by tests/test_resume.py. Overlapping bucket
+    sets remain undefined behavior (no lease CAS on the parquet seam;
+    SURVEY §8.6).
     `backend` selects the TableIO storage seam (parquet here; iceberg on a
     cluster with the catalog configured).
     Returns run metadata {run_id, processed, skipped, rows_out}.
@@ -62,7 +71,8 @@ def run_extract(
 
     transcripts = io.read(input_path)
     done = done_partitions(spark, lineage_path, run_id)
-    todo = [b for b in range(n_buckets) if b not in done]
+    universe = sorted(set(buckets)) if buckets is not None else range(n_buckets)
+    todo = [b for b in universe if b not in done]
     if max_buckets is not None:
         todo = todo[:max_buckets]
     if not todo:
@@ -158,9 +168,23 @@ def run_extract(
 
 
 def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The extracted table under stable (conv_id, turn_idx) ordering."""
+    """The extracted table under stable (conv_id, turn_idx) ordering.
+
+    Repairs an interrupted compaction swap first (ADVICE r5): a crash
+    between compact_extracted's two renames leaves a bucket in the trash
+    dir and absent from the live table; without the repair every reader
+    between the crash and the NEXT compaction would silently see a table
+    missing that bucket. The recovery scan is one bounded driver-side
+    directory listing (n_buckets entries) and a no-op when no
+    .compact_trash_* / .compact_staging_* dirs exist."""
+    extracted_path = f"{out_dir}/extracted"
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(out_dir).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    _recover_compact_swap(fs, jvm, out_dir, extracted_path)
     return (
-        spark.read.parquet(f"{out_dir}/extracted")
+        spark.read.parquet(extracted_path)
         .drop("_bucket")
         .orderBy("conv_id", "turn_idx")
     )

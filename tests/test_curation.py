@@ -184,3 +184,95 @@ def test_token_budget_sample_two_phase_equals_single_window(spark):
         # the kept set is a PREFIX of the priority order
         flags = [i in got for i in member]
         assert flags == sorted(flags, reverse=True)
+
+
+def test_token_budget_zero_token_row_at_exact_budget_boundary(spark):
+    """ADVICE r5 regression: a zero-token row that LEADS a bucket whose
+    exclusive prefix equals the budget exactly must be kept (the single
+    window keeps it: cum == budget). The two-phase plan previously
+    classified that bucket wholly-past (prefix < budget gate) and dropped
+    the row. Bucket layout is engineered from the real md5 priorities."""
+    import hashlib
+
+    from marie_ai_spark.operators.curation import (
+        token_budget_sample,
+        token_budget_sample_window,
+    )
+
+    ids = list(range(200))
+    pr = {i: hashlib.md5(str(i).encode()).hexdigest() for i in ids}
+    bucket = {i: int(pr[i][:3], 16) for i in ids}
+    order = sorted(ids, key=lambda i: (pr[i], i))
+    # pick the bucket of the ~100th doc in priority order as the boundary
+    b_star = bucket[order[100]]
+    lead = min(
+        (i for i in ids if bucket[i] == b_star), key=lambda i: (pr[i], i)
+    )
+    # every doc in earlier buckets carries 7 tokens; the boundary bucket's
+    # leader carries 0; everyone else 7. budget == exact mass of the
+    # earlier buckets, so the leader sits at cum == budget.
+    budget = 7 * sum(1 for i in ids if bucket[i] < b_star)
+    rows = [(i, "s", 0 if i == lead else 7) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    got = {
+        r.doc_id
+        for r in token_budget_sample(
+            df, "source", {"s": budget}, "doc_id", "n_tok"
+        ).collect()
+    }
+    want = {
+        r.doc_id
+        for r in token_budget_sample_window(
+            df, "source", {"s": budget}, "doc_id", "n_tok"
+        ).collect()
+    }
+    assert lead in want  # the window form keeps the cum==budget row
+    assert got == want
+
+
+def test_contamination_flag_tokenizer_is_bit_equal_to_jvm(spark):
+    """ADVICE r5: the python tokenizer inside contamination_flag must be
+    bit-equal to the JVM tokens() helper on Unicode whitespace (NBSP,
+    U+2028), tab-edged strings (Java split keeps the empty tokens Spark
+    trim leaves behind), and control characters. Each adversarial doc is
+    its own benchmark: the JVM side shingles it, and the flag must mark
+    exactly the docs whose JVM gram set is non-empty — any tokenizer
+    divergence breaks the round-trip for the NBSP/tab cases."""
+    from marie_ai_spark.operators.curation import (
+        benchmark_shingles,
+        contaminated_docs,
+        contamination_flag,
+    )
+
+    n = 3
+    texts = [
+        "alpha beta gamma delta",
+        "alpha beta gamma delta epsilon zeta",   # NBSP inside a token
+        "alpha beta gamma delta epsilon zeta",   # U+2028 inside a token
+        "\talpha beta gamma delta",                   # leading empty token
+        "alpha beta gamma delta\t",                   # trailing empty token
+        "\x01alpha beta gamma\x01 delta",             # control chars kept
+        "  alpha   beta\t\tgamma  ",                  # ws runs + space trim
+        "one two",                                    # too short: no grams
+        "",                                           # empty
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    bench = docs.select(F.col("doc_id").alias("bench_id"), "text")
+    shingles = benchmark_shingles(bench, n=n)
+    flagged = {
+        r.doc_id
+        for r in contamination_flag(docs, shingles, n=n)
+        .filter("contaminated")
+        .collect()
+    }
+    via_join = {
+        r.doc_id
+        for r in contaminated_docs(docs, bench, n=n)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert flagged == via_join
+    assert {0, 1, 2, 3, 4, 5, 6} <= flagged and 7 not in flagged

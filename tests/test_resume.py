@@ -398,3 +398,80 @@ def test_compaction_crash_mid_swap_recovers(spark, tmp_path):
     leftovers = [p.name for p in (tmp_path / "out").iterdir()
                  if p.name.startswith(".compact_")]
     assert leftovers == []
+
+
+def test_read_extracted_repairs_interrupted_swap(spark, tmp_path):
+    """ADVICE r5: a reader arriving BETWEEN a mid-swap crash and the next
+    compaction must not silently see a table missing the in-flight bucket.
+    read_extracted itself restores the bucket from trash before reading."""
+    import shutil
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(gen_pandas(60, seed=47)).write.parquet(inp)
+    run_extract(spark, inp, out, run_id="rr", n_buckets=4,
+                max_records_per_file=20)
+    before = read_extracted(spark, out).toPandas()
+
+    live = tmp_path / "out" / "extracted" / "_bucket=2"
+    trash = tmp_path / "out" / ".compact_trash_dead" / "_bucket=2"
+    staging = tmp_path / "out" / ".compact_staging_dead" / "_bucket=2"
+    trash.parent.mkdir()
+    staging.parent.mkdir()
+    shutil.copytree(live, staging)
+    shutil.move(str(live), str(trash))
+    assert not live.exists()
+
+    # plain read (no compaction in between) already repairs and is complete
+    assert read_extracted(spark, out).toPandas().equals(before)
+    assert live.exists()
+    leftovers = [p.name for p in (tmp_path / "out").iterdir()
+                 if p.name.startswith(".compact_")]
+    assert leftovers == []
+
+
+def test_concurrent_disjoint_bucket_writers_converge(spark, tmp_path):
+    """The safe subset of multi-writer use on the parquet seam (SURVEY
+    §8.6): two run_extract jobs over DISJOINT bucket sets running at the
+    same time (two threads, one session — each thread drives its own
+    Spark jobs) must converge to exactly the sequential golden table,
+    with complete lineage for both runs. Data writes commit disjoint
+    partition dirs from per-job uuid staging; lineage appends rename
+    uuid-unique files, so neither writer can clobber the other."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    golden_out = str(tmp_path / "golden")
+    spark.createDataFrame(gen_pandas(120, seed=48)).write.parquet(inp)
+
+    run_extract(spark, inp, golden_out, run_id="g", n_buckets=8)
+    golden = read_extracted(spark, golden_out).toPandas()
+
+    def job(run_id, buckets):
+        return run_extract(
+            spark, inp, out, run_id=run_id, n_buckets=8, buckets=buckets
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fa = ex.submit(job, "wa", [0, 1, 2, 3])
+        fb = ex.submit(job, "wb", [4, 5, 6, 7])
+        ra, rb = fa.result(), fb.result()
+    assert ra["processed"] == 4 and rb["processed"] == 4
+
+    final = read_extracted(spark, out).toPandas()
+    assert final.equals(golden)
+
+    lin = spark.read.parquet(f"{out}/lineage").toPandas()
+    done = lin[lin.status == "done"]
+    assert set(zip(done.run_id, done.partition_id)) == (
+        {("wa", b) for b in range(4)} | {("wb", b) for b in range(4, 8)}
+    )
+    # per-bucket checksums equal the golden run's (same content per bucket)
+    glin = spark.read.parquet(f"{golden_out}/lineage").toPandas()
+    gsum = dict(zip(glin.partition_id, glin.checksum))
+    assert dict(zip(done.partition_id, done.checksum)) == gsum
+    # both runs resume as complete; nothing reprocessed
+    r2 = run_extract(spark, inp, out, run_id="wa", n_buckets=8,
+                     buckets=[0, 1, 2, 3])
+    assert r2["processed"] == 0 and r2["skipped"] == 4
