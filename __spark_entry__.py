@@ -611,6 +611,40 @@ def q_semantic_dedup(spark, sf):
     return similarity.semantic_dedup(emb, cents, threshold=0.45)
 
 
+def q_ivf_upsert(spark, sf):
+    """Incremental ANN index maintenance (round 6): build the
+    cell-partitioned index over vec_id % 5 != 0, then upsert a batch of
+    inserts (the % 5 == 0 rows) and updates (the % 11 == 0 rows with
+    negated embeddings — most change cells, exercising the stale-copy
+    hunt and per-cell merge). Returns the final index's (vec_id, cell);
+    the oracle recomputes the end state functionally: every vec_id with
+    its post-upsert embedding, assigned by the same frozen quantizer."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf, "embeddings")
+    cents = similarity.train_ivf_centroids(emb, n_centroids=8, iters=3)
+    root = tempfile.mkdtemp(prefix="ivf_upsert_q_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = f"{root}/idx"
+    similarity.ivf_write_index(
+        emb.filter(F.col("vec_id") % 5 != 0), cents, path
+    )
+    neg = F.transform(F.col("embedding"), lambda x: -x).alias("embedding")
+    batch = (
+        emb.filter(F.col("vec_id") % 11 == 0)
+        .select("vec_id", neg, "label")
+        .unionByName(
+            emb.filter(
+                (F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 11 != 0)
+            ).select("vec_id", "embedding", "label")
+        )
+    )
+    similarity.ivf_upsert(batch, path)
+    return spark.read.parquet(path).select("vec_id", "cell")
+
+
 def q_extract_transcripts(spark, sf):
     """The real pipeline on synthetic transcripts (non-SQL-expressible:
     pandas-UDF payload parsing; correctness gate lives in tests/)."""
@@ -911,6 +945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cheapest_supplier": q_cheapest_supplier,
         "q_sql_nation_revenue": q_sql_nation_revenue,
         "q_value_range_join": q_value_range_join,
+        # --- new in round 6
+        "q_ivf_upsert": q_ivf_upsert,
         # --- new in round 5
         "q_semantic_dedup": q_semantic_dedup,
         "q_token_budget_sample": q_token_budget_sample,
@@ -1051,6 +1087,55 @@ _SIMHASH_SIG_CTE = """
                 FROM bits
             )
 """
+
+
+def _ivf_cents_values(n_centroids: int = 8, iters: int = 3) -> str:
+    """Full-precision centroid literals for the DuckDB oracles, recomputed
+    bit-identically by the numpy twin from the parquet of the scale the
+    oracle runs at (SPARK_GRAFT_ORACLE_SF_DIR; default = the driver's
+    correctness sf)."""
+    import os
+
+    from marie_ai_spark.operators.similarity import train_ivf_centroids_local
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    cents = train_ivf_centroids_local(
+        f"{sf_dir}/embeddings.parquet", n_centroids=n_centroids, iters=iters
+    )
+    return ",\n                ".join(
+        "({}, [{}]::DOUBLE[])".format(ci, ", ".join(repr(v) for v in c))
+        for ci, c in enumerate(cents)
+    )
+
+
+def _ivf_upsert_oracle_sql() -> str:
+    """DuckDB oracle for q_ivf_upsert: the post-upsert index state is a
+    pure function of the corpus — every vec_id is present (base covers
+    % 5 != 0; the batch covers % 5 == 0 and % 11 == 0), the % 11 == 0
+    rows carry negated embeddings, and each row's cell is the frozen
+    quantizer's argmin (list_distance is the monotone sqrt of the Spark
+    fold, so the ranking agrees; ties to the lowest cell)."""
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   CASE WHEN vec_id % 11 = 0
+                        THEN list_transform(embedding::DOUBLE[], x -> -x)
+                        ELSE embedding::DOUBLE[] END AS v
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT * FROM (VALUES
+                {_ivf_cents_values()}
+            ) AS t(cell, c)
+        )
+        SELECT vec_id,
+               (SELECT cell FROM cents
+                ORDER BY list_distance(e.v, cents.c) ASC, cell ASC
+                LIMIT 1) AS cell
+        FROM e
+    """
 
 
 def _semantic_dedup_oracle_sql() -> str:
@@ -2351,6 +2436,7 @@ def oracle_sql() -> dict[str, str]:
           ON r.conv_id = t.conv_id AND r.turn_idx = t.turn_idx
     """
     sqls["q_semantic_dedup"] = _semantic_dedup_oracle_sql()
+    sqls["q_ivf_upsert"] = _ivf_upsert_oracle_sql()
     sqls["q_line_dedup"] = f"""
         WITH {_FIXTURE_LINES_CTE},
         freq AS (

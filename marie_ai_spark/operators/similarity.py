@@ -310,6 +310,105 @@ def ivf_read_quantizer(spark, path: str) -> list[list[float]]:
     )
 
 
+def ivf_upsert(
+    new_embeddings: DataFrame,
+    path: str,
+    new_ids_only: bool = False,
+) -> dict:
+    """Incremental maintenance of the written IVF index: upsert a batch of
+    (vec_id, embedding) rows into the cell-partitioned table WITHOUT
+    rebuilding it — the ingest path a 100 TB index needs (the reference
+    keeps a persistent FAISS index it adds to per document batch:
+    /root/reference/marie/extract/annotators/faiss_hybrid_annotator.py).
+
+    Semantics: last-write-wins per vec_id. The batch is assigned with the
+    PERSISTED quantizer (frozen at train time — standard IVF `add`:
+    centroids never shift on ingest, so cell assignment stays a pure
+    function of the embedding and probes stay consistent).
+
+    Scale shape, per phase:
+      1. assign the batch JVM-side; collect its distinct cells — bounded
+         by n_centroids, index metadata.
+      2. stale-copy hunt (skipped when new_ids_only=True): an UPDATED
+         embedding can move its vector to a different cell, which would
+         leave the old row stranded in a partition the merge never
+         rewrites. Scan ONLY the vec_id column of the NON-touched cells
+         with the batch ids broadcast into a semi-join — a columnar
+         projection + partition-pruned scan, no shuffle of the index —
+         and add any cell holding a stale copy to the touched set.
+      3. merge = (touched-cell rows anti-joined on the broadcast batch
+         ids) UNION the assigned batch, staged to a scratch dir (Spark
+         refuses to overwrite a path it is reading), then committed with
+         DYNAMIC partition overwrite — only touched cell dirs are
+         replaced, every other partition's files are untouched bytes.
+      4. a touched cell whose rows were ALL moved away produces no
+         partition in the merge output, so dynamic overwrite would leave
+         its old files in place: such cell dirs are deleted explicitly.
+
+    Returns {n_batch, cells_touched, cells_stale, cells_emptied}."""
+    import uuid as _uuid
+
+    spark = new_embeddings.sparkSession
+    centroids = ivf_read_quantizer(spark, path)
+    index_cols = [
+        c for c in spark.read.parquet(path).columns if c != "cell"
+    ]
+    if set(new_embeddings.columns) != set(index_cols):
+        raise ValueError(
+            f"upsert batch columns {sorted(new_embeddings.columns)} must "
+            f"match the index payload columns {sorted(index_cols)}"
+        )
+    batch = ivf_assign(new_embeddings, centroids)
+    touched = sorted(
+        r.cell for r in batch.select("cell").distinct().collect()
+    )
+    if not touched:
+        return {"n_batch": 0, "cells_touched": [], "cells_stale": [],
+                "cells_emptied": []}
+    ids = batch.select("vec_id").distinct()
+    index = spark.read.parquet(path)  # (re-read after the column check)
+    stale_cells: list[int] = []
+    if not new_ids_only:
+        stale_cells = sorted(
+            r.cell
+            for r in index.filter(~F.col("cell").isin(touched))
+            .join(F.broadcast(ids), "vec_id", "left_semi")
+            .select("cell")
+            .distinct()
+            .collect()
+        )
+    all_touched = sorted(set(touched) | set(stale_cells))
+    keep_old = index.filter(F.col("cell").isin(all_touched)).join(
+        F.broadcast(ids), "vec_id", "left_anti"
+    )
+    merged = keep_old.unionByName(batch.select(keep_old.columns))
+
+    stage = f"{path}__upsert_{_uuid.uuid4().hex}"
+    merged.write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+    (
+        staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    nonempty = {r.cell for r in staged.select("cell").distinct().collect()}
+    emptied = sorted(set(all_touched) - nonempty)
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    for c in emptied:
+        fs.delete(Path(f"{path}/cell={c}"), True)
+    fs.delete(Path(stage), True)
+    n_batch = batch.count()
+    return {
+        "n_batch": n_batch,
+        "cells_touched": all_touched,
+        "cells_stale": stale_cells,
+        "cells_emptied": emptied,
+    }
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

@@ -943,3 +943,98 @@ def test_bm25_hand_computed(spark):
     # the rare term (cherry, df=1) makes doc 2 win despite lower tf of
     # the shared term
     assert got[2] > got[1]
+
+
+def test_ivf_upsert_insert_update_move_and_empty(spark, tmp_path):
+    """Incremental index maintenance: after upserting a batch holding a
+    brand-new vector, an in-place update, and an update that MOVES a
+    vector to a different cell, the index table must equal a from-scratch
+    rebuild over the post-upsert corpus — no stale copies, no duplicate
+    vec_ids, emptied cell dirs removed, quantizer untouched, and the
+    probe scan still partition-pruned."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.train_ivf_centroids(emb, n_centroids=4, iters=3)
+    path = str(tmp_path / "ivf_index")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    similarity.ivf_write_index(base, cents, path)
+
+    neg = F.transform(F.col("embedding"), lambda x: -x).alias("embedding")
+    batch = (
+        emb.filter(F.col("vec_id") % 11 == 0)        # updates (negated ->
+        .select("vec_id", neg, "label")               #  most move cells)
+        .unionByName(
+            emb.filter(
+                (F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 11 != 0)
+            ).select("vec_id", "embedding", "label")  # inserts
+        )
+    )
+    r = similarity.ivf_upsert(batch, path)
+    assert r["n_batch"] == batch.count()
+
+    # golden: rebuild from scratch over the post-upsert corpus
+    final_corpus = emb.filter(
+        (F.col("vec_id") % 5 != 0) & (F.col("vec_id") % 11 != 0)
+    ).select("vec_id", "embedding", "label").unionByName(batch)
+    golden = {
+        (r.vec_id, r.cell)
+        for r in similarity.ivf_assign(final_corpus, cents).collect()
+    }
+    got = [
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(path).select("vec_id", "cell").collect()
+    ]
+    assert set(got) == golden and len(got) == len(golden)  # no dup vec_ids
+
+    # at least one update moved cells in this fixture (else the stale
+    # hunt is untested) and the quantizer is byte-identical
+    moved = {
+        r.vec_id
+        for r in similarity.ivf_assign(
+            emb.filter(F.col("vec_id") % 11 == 0).select("vec_id", neg), cents
+        )
+        .join(
+            similarity.ivf_assign(
+                emb.filter(F.col("vec_id") % 11 == 0), cents
+            ).select("vec_id", F.col("cell").alias("old_cell")),
+            "vec_id",
+        )
+        .filter("cell != old_cell")
+        .collect()
+    }
+    assert moved, "fixture must exercise the cell-move path"
+    assert similarity.ivf_read_quantizer(spark, path) == cents
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    plan = (
+        similarity.ivf_topk_indexed(spark, path, q, k=5, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan
+    # no leftover staging dirs
+    assert not [p.name for p in tmp_path.iterdir() if "__upsert_" in p.name]
+
+
+def test_ivf_upsert_empties_a_cell_dir(spark, tmp_path):
+    """A cell whose only members are moved away by an update must have
+    its partition directory deleted (dynamic overwrite alone would leave
+    the old files in place)."""
+    rows = [
+        (1, [10.0, 0.0]), (2, [0.0, 10.0]), (3, [9.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[10.0, 0.0], [0.0, 10.0]]
+    path = str(tmp_path / "idx")
+    similarity.ivf_write_index(emb, cents, path)
+    assert (tmp_path / "idx" / "cell=1").exists()
+
+    # move vec 2 (cell 1's only member) over to cell 0's side
+    batch = spark.createDataFrame(
+        [(2, [8.0, 0.5])], "vec_id long, embedding array<double>"
+    )
+    r = similarity.ivf_upsert(batch, path)
+    assert r["cells_stale"] == [1] and r["cells_emptied"] == [1]
+    assert not (tmp_path / "idx" / "cell=1").exists()
+    got = {
+        (x.vec_id, x.cell) for x in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, 0), (2, 0), (3, 0)}
