@@ -346,6 +346,23 @@ def q_bm25(spark, sf):
     )
 
 
+def q_bm25_stream_scores(spark, sf):
+    """The BM25 train/apply split (round 6): bm25_train_stats pins
+    (N, avgdl, per-term df) as model state; bm25_score_stream scores each
+    document with pure per-row expressions — the same code path runs on
+    an unbounded stream (availableNow parity in tests/test_streaming.py).
+    Returns every matched doc's score, bit-equal to bm25_topk's fold."""
+    docs = _t(spark, sf, "documents")
+    stats = textstats.bm25_train_stats(
+        docs, ["spark", "merge", "window", "customer"]
+    )
+    return (
+        textstats.bm25_score_stream(docs, stats)
+        .filter("matched")
+        .select("doc_id", "bm25")
+    )
+
+
 def q_fluency_buckets(spark, sf):
     """CCNet head/middle/tail composition buckets per language by exact
     fluency-score percentiles (broadcast cutoffs, no corpus window)."""
@@ -947,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_value_range_join": q_value_range_join,
         # --- new in round 6
         "q_ivf_upsert": q_ivf_upsert,
+        "q_bm25_stream_scores": q_bm25_stream_scores,
         # --- new in round 5
         "q_semantic_dedup": q_semantic_dedup,
         "q_token_budget_sample": q_token_budget_sample,
@@ -2383,6 +2401,10 @@ def oracle_sql() -> dict[str, str]:
         FROM per GROUP BY doc_id
         ORDER BY bm25 DESC, doc_id LIMIT 20
     """
+    # identical derivation, full matched set (the streaming apply form)
+    sqls["q_bm25_stream_scores"] = (
+        sqls["q_bm25"].rsplit("ORDER BY bm25 DESC", 1)[0]
+    )
     sqls["q_fluency_buckets"] = f"""
         WITH scored AS ({sqls["q_fluency"]}),
         cuts AS (

@@ -545,3 +545,85 @@ def bm25_topk(
         )
     )
     return folded.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
+
+
+def bm25_train_stats(
+    documents: DataFrame, query_terms: list[str]
+) -> dict:
+    """Pin the corpus-level BM25 statistics as persistable model state —
+    the train half of the train-once/apply-on-ingest split (same shape
+    as lang_id_profile / fluency_profile): one 1-row aggregate for
+    (N, avgdl) and one <= |terms|-row aggregate for per-term document
+    frequencies. The returned dict is tiny driver metadata (JSON-able;
+    persist next to the corpus like the IVF quantizer)."""
+    toks = documents.select(
+        "doc_id", tokens("text").alias("w")
+    ).withColumn("dl", F.size("w"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    df_map = {
+        r["t"]: int(r["df"])
+        for r in toks.select("doc_id", F.explode("w").alias("t"))
+        .filter(F.col("t").isin(list(query_terms)))
+        .groupBy("t")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .collect()
+    }
+    return {
+        "n_docs": int(stats["n"]),
+        "avgdl": float(stats["avgdl"] or 1.0),
+        "df": {t: df_map.get(t, 0) for t in query_terms},
+    }
+
+
+def bm25_score_stream(
+    documents: DataFrame,
+    stats: dict,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Streaming APPLY for BM25 retrieval: score each document against
+    the pinned train-time statistics with PURE per-row column
+    expressions — no corpus aggregate in the plan, so the same code runs
+    on a batch DataFrame and an unbounded readStream (availableNow
+    parity is test-asserted, bit-equal to bm25_topk's scores).
+
+    Bit-equality with the batch fold: per-term scores are added in
+    TERM-ASCENDING order (the batch sort_array fold order), absent terms
+    contribute an exact +0.0 (float identity), idf stays a JVM ln over
+    the pinned df literal (constant-folded by Catalyst — same double the
+    batch path computes per row), and the rounding is the same JVM
+    round-half-up. Terms with train-time df == 0 never contribute (the
+    batch join drops them); a term newly appearing after training keeps
+    scoring 0 until stats are re-trained — the documented staleness of
+    any pinned-model apply path.
+
+    Output: (doc_id, bm25, matched) for every input row; filter
+    `matched` for the batch-identical result set."""
+    terms = sorted(t for t, d in stats["df"].items() if d > 0)
+    n_docs = float(stats["n_docs"])
+    avgdl = float(stats["avgdl"])
+    out = documents.select(
+        "doc_id", tokens("text").alias("_w")
+    ).withColumn("_dl", F.size("_w"))
+    score = F.lit(0.0)
+    n_match = F.lit(0)
+    for t in terms:
+        dfv = float(stats["df"][t])
+        tf = F.size(F.filter("_w", lambda x: x == F.lit(t)))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.lit(dfv) + 0.5) / (F.lit(dfv) + 0.5)
+        )
+        term_score = idf * (
+            tf * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("_dl") / F.lit(avgdl)))
+        )
+        score = score + F.when(tf > 0, term_score).otherwise(F.lit(0.0))
+        n_match = n_match + tf
+    return out.select(
+        "doc_id",
+        F.round(score, 4).alias("bm25"),
+        (n_match > 0).alias("matched"),
+    )

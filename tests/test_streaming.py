@@ -396,3 +396,61 @@ def test_streaming_pretrained_classify_matches_batch(spark, tmp_path):
                  for r in spark.sql("select * from flu_stream").collect()}
     assert got_s_lang == want_lang
     assert got_s_flu == want_flu
+
+
+def test_streaming_bm25_apply_matches_batch(spark, tmp_path):
+    """BM25's train/apply split (round 6): bm25_train_stats pins
+    (N, avgdl, per-term df); bm25_score_stream scores statelessly. The
+    matched rows must be BIT-EQUAL to bm25_topk over the whole corpus
+    (same fold order, same JVM arithmetic), on batch AND under an
+    availableNow drain across two file waves."""
+    from marie_ai_spark.operators.textstats import (
+        bm25_score_stream,
+        bm25_topk,
+        bm25_train_stats,
+    )
+
+    terms = ["spark", "merge", "window", "customer", "zzz_absent_term"]
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    stats = bm25_train_stats(docs, terms)
+    assert stats["df"]["zzz_absent_term"] == 0
+
+    want = {
+        (r.doc_id, r.bm25)
+        for r in bm25_topk(docs, terms, k=n).collect()
+    }
+    got = {
+        (r.doc_id, r.bm25)
+        for r in bm25_score_stream(docs, stats)
+        .filter("matched")
+        .collect()
+    }
+    assert got == want and got  # bit-equal scores, same doc set
+
+    # unmatched docs score exactly 0.0 and are the complement
+    scored = bm25_score_stream(docs, stats)
+    assert scored.count() == n
+    assert scored.filter("NOT matched AND bm25 != 0.0").count() == 0
+
+    # availableNow parity across two arrival waves
+    stream_dir = str(tmp_path / "docs_stream")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    other = docs.filter(F.col("doc_id") % 2 == 1)
+    half.write.mode("append").parquet(stream_dir)
+    other.write.mode("append").parquet(stream_dir)
+    src = spark.readStream.schema(docs.schema).parquet(stream_dir)
+    q = (
+        bm25_score_stream(src, stats)
+        .filter("matched")
+        .writeStream.format("memory")
+        .queryName("bm25_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_s = {
+        (r.doc_id, r.bm25)
+        for r in spark.sql("select * from bm25_stream").collect()
+    }
+    assert got_s == want
