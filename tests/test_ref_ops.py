@@ -372,3 +372,170 @@ class TestEmbeddingSelector:
         assert v1 == v2
         assert abs(sum(x * x for x in v1) - 1.0) < 1e-9
         assert embed_line("") == [0.0] * len(v1)
+
+
+class TestHtmlDifferentialFuzz:
+    """Round-6 differential fuzz (VERDICT r5 item 6): extract_html's
+    HTMLParser walk vs an INDEPENDENT regex-scanner twin that computes
+    absolute offsets by direct arithmetic (no line/col bookkeeping) and
+    re-derives the skip/chrome/link-density/merge spec from scratch.
+    Hypothesis generates nested + malformed markup: unclosed elements,
+    stray end tags, whitespace-only runs, newlines/tabs inside text,
+    void tags, nested anchors."""
+
+    _TAGS = ["div", "p", "span", "a", "nav", "footer", "header",
+             "aside", "script", "style", "ul", "li", "b", "noscript"]
+
+    @staticmethod
+    def _twin(html: str):
+        import re
+
+        from marie_ai_spark.ref_ops.html_extract import (
+            CHROME_TAGS,
+            LINK_DENSITY_DROP,
+            SKIP_TAGS,
+            _VOID,
+        )
+
+        tag_re = re.compile(r'<(/?)([a-z]+)((?:\s+[a-z]+="[^"]*")*)\s*>')
+        segments = []  # (start, end, data, skip, chrome_key, in_link)
+        stack: list[str] = []
+        chrome_keys: list[int] = []
+        chrome_seq = skip_depth = link_depth = 0
+
+        def emit(data, start):
+            if data and not data.isspace():
+                segments.append((
+                    start, start + len(data), data, skip_depth > 0,
+                    chrome_keys[-1] if chrome_keys else None,
+                    link_depth > 0,
+                ))
+
+        def handle(closing, tag):
+            nonlocal skip_depth, chrome_seq, link_depth
+            if tag in _VOID:
+                return
+            if not closing:
+                stack.append(tag)
+                if tag in SKIP_TAGS:
+                    skip_depth += 1
+                if tag in CHROME_TAGS:
+                    chrome_seq += 1
+                    chrome_keys.append(chrome_seq)
+                if tag == "a":
+                    link_depth += 1
+            elif tag in stack:
+                while stack:
+                    top = stack.pop()
+                    if top in SKIP_TAGS:
+                        skip_depth -= 1
+                    if top in CHROME_TAGS:
+                        chrome_keys.pop()
+                    if top == "a":
+                        link_depth -= 1
+                    if top == tag:
+                        break
+
+        # script/style bodies are CDATA: everything (stray tags included)
+        # is raw data until the element's own close tag — the HTMLParser
+        # content model the walker inherits
+        pos, n, cdata = 0, len(html), None
+        while pos < n:
+            if cdata is not None:
+                i = html.find(f"</{cdata}", pos)
+                if i == -1:
+                    # HTMLParser buffers unclosed CDATA waiting for the
+                    # close tag; close() never flushes it as data
+                    break
+                emit(html[pos:i], pos)
+                m = tag_re.match(html, i)
+                assert m, "generated close tags are always well-formed"
+                pos = m.end()
+                handle(True, cdata)
+                cdata = None
+                continue
+            m = tag_re.search(html, pos)
+            if not m:
+                emit(html[pos:], pos)
+                break
+            emit(html[pos:m.start()], pos)
+            pos = m.end()
+            closing, tag = m.group(1) == "/", m.group(2)
+            handle(closing, tag)
+            if not closing and tag in ("script", "style"):
+                cdata = tag
+
+        link: dict[int, int] = {}
+        total: dict[int, int] = {}
+        for _s, _e, d, sk, ck, il in segments:
+            if ck is None or sk:
+                continue
+            n = len(d.strip())
+            total[ck] = total.get(ck, 0) + n
+            if il:
+                link[ck] = link.get(ck, 0) + n
+        dropped = {
+            ck for ck, t in total.items()
+            if t > 0 and link.get(ck, 0) / t > LINK_DENSITY_DROP
+        }
+        kept, spans = [], []
+        for s, e, d, sk, ck, _il in segments:
+            if sk:
+                lab = ("script_style", "drop")
+            elif ck is not None and ck in dropped:
+                lab = ("nav", "drop")
+            else:
+                kept.append(d.strip())
+                lab = ("content", "keep")
+            if spans and spans[-1][2:] == lab:
+                spans[-1] = (spans[-1][0], e, *lab)
+            else:
+                spans.append((s, e, *lab))
+        clean = " ".join(t for t in kept if t)
+        return clean, spans, (1 if clean else 0)
+
+    def test_differential_fuzz(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from marie_ai_spark.ref_ops.html_extract import extract_html
+
+        text_st = st.text(
+            alphabet="abz XY.,!:\n\t  09-", min_size=1, max_size=12
+        )
+
+        def render(node) -> str:
+            if isinstance(node, str):
+                return node
+            kind = node[0]
+            if kind == "stray":
+                return f"</{node[1]}>"
+            if kind == "void":
+                return "<br>"
+            _, tag, children, closed = node
+            attrs = ' href="x"' if tag == "a" else ""
+            body = "".join(render(c) for c in children)
+            return f"<{tag}{attrs}>{body}" + (f"</{tag}>" if closed else "")
+
+        node_st = st.deferred(
+            lambda: st.one_of(
+                text_st,
+                st.tuples(st.just("stray"), st.sampled_from(self._TAGS)),
+                st.tuples(st.just("void")),
+                st.tuples(
+                    st.just("el"),
+                    st.sampled_from(self._TAGS),
+                    st.lists(node_st, max_size=4),
+                    st.booleans(),
+                ),
+            )
+        )
+        doc_st = st.lists(node_st, min_size=1, max_size=6)
+
+        @settings(max_examples=120, deadline=None)
+        @given(doc_st)
+        def check(doc):
+            html = "".join(render(n) for n in doc)
+            assert extract_html(html) == self._twin(html)
+
+        check()
