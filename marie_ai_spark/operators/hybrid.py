@@ -75,6 +75,10 @@ from ..ref_ops.spans_engine import _EMBED_DIM, embed_line
 
 _CAND_KEY = ["conv_id", "turn_idx", "line_no", "tok_start", "ngram_size"]
 
+# diagnostics for tests/bench: which join-back strategy the bounded
+# broadcast gate chose on the most recent hybrid_annotate call
+LAST_CALL_INFO: dict = {"join": None, "n_decisions": None}
+
 
 def _ngram_candidates(transcripts: DataFrame) -> DataFrame:
     lines = transcripts.select(
@@ -308,8 +312,12 @@ def hybrid_annotate(
             head, "norm string, label string, strategy string, score double"
         )
         out = normed.join(F.broadcast(dec_local), "norm")
+        LAST_CALL_INFO["join"] = "broadcast-local"
+        LAST_CALL_INFO["n_decisions"] = len(head)
     else:
         out = normed.join(decisions, "norm")
+        LAST_CALL_INFO["join"] = "shuffle"
+        LAST_CALL_INFO["n_decisions"] = None  # over the bound, not counted
     out = out.select(*_CAND_KEY, "value", "label", "strategy", "score")
     if not dedup:
         return out.select(*_OUT_COLS)

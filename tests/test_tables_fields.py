@@ -604,3 +604,26 @@ def test_hybrid_staging_materialize_identical(spark, corpus_sdf, tmp_path):
         corpus_sdf, materialize="staging",
         staging_dir=str(tmp_path / "cand")).collect()))
     assert base and base == staged
+
+
+def test_hybrid_fallback_plan_is_lazy_shuffle_join(spark, corpus_sdf):
+    """Round 6: pin the PHYSICAL shape of the two gate outcomes. Under
+    the bound the decisions are an eagerly-collected local DataFrame
+    broadcast back (no Python stage left in the returned plan — scoring
+    already happened); over the bound the returned plan must keep the
+    LAZY decision subplan (its Arrow embedding stage is in the plan) and
+    join it by shuffle, never collect it."""
+    from marie_ai_spark.operators import hybrid
+    from marie_ai_spark.operators.hybrid import hybrid_annotate
+
+    fast = hybrid_annotate(corpus_sdf)
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert hybrid.LAST_CALL_INFO["join"] == "broadcast-local"
+    assert hybrid.LAST_CALL_INFO["n_decisions"] > 0
+    assert "ArrowEvalPython" not in fast_plan
+
+    slow = hybrid_annotate(corpus_sdf, max_broadcast_decisions=0)
+    slow_plan = slow._jdf.queryExecution().executedPlan().toString()
+    assert hybrid.LAST_CALL_INFO["join"] == "shuffle"
+    assert "ArrowEvalPython" in slow_plan  # decision scoring stays lazy
+    assert slow.count() > 0
