@@ -109,6 +109,8 @@ HEADLINE = [
     "q_fluency_pretrained",
     "q_fluency_buckets",
     "q_bm25",
+    "q_bm25_stream_scores",
+    "q_ivf_upsert",
     "q_faithfulness",
 ]
 
@@ -210,22 +212,34 @@ def main():
     except OSError:
         pass  # detail file is best-effort; the stdout line is the contract
 
-    # stdout line: compact separators + 1-decimal timings keep all 80
-    # queries under the driver's 2000-char capture (3-decimal timings,
-    # host calibration and per-query steal live in BENCH/last_run.json);
-    # the guard drops the per-query dict entirely rather than ever
-    # exceeding the window
+    # stdout line: compact separators + adaptive number width keep all 83
+    # queries under the driver's 2000-char capture even when bad host
+    # weather pushes many timings to double digits (sub-10s queries print
+    # 1 decimal, >=10s print whole seconds; 3-decimal timings, host
+    # calibration and per-query steal live in BENCH/last_run.json); if the
+    # registry outgrows the window anyway, the guard sheds the CHEAPEST
+    # timings one at a time (least informative for cross-round per-query
+    # comparison) and reports how many were omitted, instead of dropping
+    # the whole dict
+    def _compact(v):
+        return int(round(v)) if v >= 10 else round(v, 1)
+
     summary = {
-        "metric": "total_headline_runtime",
-        "value": round(total, 3),
+        "metric": "total_sec",
+        "value": round(total, 1),
         "unit": "sec",
-        "queries": {k: round(v, 1) for k, v in timings.items()},
+        "queries": {k: _compact(v) for k, v in timings.items()},
         "sf": sf,
     }
     line = json.dumps(summary, separators=(",", ":"))
-    if len(line) > 1960:  # line + newline must fit the 2000-char capture
-        summary["queries"] = "BENCH/last_run.json"
-        line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1975:  # line + newline must fit the 2000-char capture
+        by_cost = sorted(timings, key=timings.get)
+        omitted = 0
+        while len(line) > 1960 and by_cost:  # leave room for the counter
+            summary["queries"].pop(by_cost.pop(0), None)
+            omitted += 1
+            summary["queries_omitted"] = omitted
+            line = json.dumps(summary, separators=(",", ":"))
     print(line)
     spark.stop()
 
