@@ -662,6 +662,34 @@ def q_ivf_upsert(spark, sf):
     return spark.read.parquet(path).select("vec_id", "cell")
 
 
+def q_rrf(spark, sf):
+    """Hybrid-retrieval fusion (round 6): reciprocal-rank fusion of the
+    lexical BM25 top-20 with the semantic cosine top-10 (the engine's own
+    bm25_topk and brute_force_topk outputs; doc_id and vec_id are the
+    same key space in the test tables)."""
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    lex = textstats.bm25_topk(
+        docs, ["spark", "merge", "window", "customer"], k=20
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    sem = similarity.brute_force_topk(emb.filter(F.col("vec_id") != 0), qv, k=10)
+    return similarity.rrf_fuse([lex, sem], ["lex", "sem"], k=60, topn=20)
+
+
+def q_mix(spark, sf):
+    """Temperature-flattened mixture sampling (round 6): multinomial
+    source weights p_s ~ n_s^0.5 over the skewed `lang` histogram,
+    expected keep of half the corpus; deterministic md5 admission."""
+    return curation.temperature_mixture_sample(
+        _t(spark, sf, "documents"),
+        source_col="lang",
+        key_col="doc_id",
+        alpha=0.5,
+        target_frac=0.5,
+    )
+
+
 def q_extract_transcripts(spark, sf):
     """The real pipeline on synthetic transcripts (non-SQL-expressible:
     pandas-UDF payload parsing; correctness gate lives in tests/)."""
@@ -974,6 +1002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 6
         "q_ivf_upsert": q_ivf_upsert,
         "q_bm25_stream_scores": q_bm25_stream_scores,
+        "q_rrf": q_rrf,
+        "q_mix": q_mix,
         # --- code changed in round 6 (curation ASCII tokenizer + budget
         # boundary, hybrid gate diagnostics, reshaped driver fixtures)
         "q_dedup_exact": q_dedup_exact,
@@ -992,10 +1022,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_seqs": q_pack_seqs,
         "q_line_dedup": q_line_dedup,
         "q_dup_spans": q_dup_spans,
+        # ---------------- position 51+: driver-green in round 5
+        # (every entry below has a green row in CORRECTNESS_r05.json;
+        # q_cut_dup_spans / q_semantic_dedup ceded their head slots to the
+        # two late round-6 operators and rotate back next round)
         "q_cut_dup_spans": q_cut_dup_spans,
         "q_semantic_dedup": q_semantic_dedup,
-        # ---------------- position 51+: driver-green in round 5
-        # (every entry below has a green row in CORRECTNESS_r05.json)
         "q_returnflag_vote": q_returnflag_vote,
         "q_classify_vote": q_classify_vote,
         "q_annotate_regex": q_annotate_regex,
@@ -2403,6 +2435,69 @@ def oracle_sql() -> dict[str, str]:
     sqls["q_bm25_stream_scores"] = (
         sqls["q_bm25"].rsplit("ORDER BY bm25 DESC", 1)[0]
     )
+    # RRF: re-rank the bm25 top-20 and the cosine top-10 (the two proven
+    # oracles above), fuse with 1/(60+rank); contributions added lex-then-
+    # sem, mirroring rrf_fuse's input-list fold order.
+    _bm25_body = sqls["q_bm25"].strip().rstrip()
+    sqls["q_rrf"] = f"""
+        WITH lex AS ({_bm25_body}),
+        lexr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+            FROM lex
+        ),
+        q AS (
+            SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        ),
+        sem AS (
+            SELECT e.vec_id AS doc_id,
+                   round(
+                     list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                     (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> 0
+            ORDER BY cos_sim DESC, e.vec_id
+            LIMIT 10
+        ),
+        semr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS sem_rank
+            FROM sem
+        )
+        SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+               round(coalesce(1.0 / (60.0 + l.lex_rank), 0.0)
+                     + coalesce(1.0 / (60.0 + s.sem_rank), 0.0), 6) AS rrf,
+               l.lex_rank, s.sem_rank
+        FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT 20
+    """
+    # temperature mixture: histogram over lang, normalizer folded in
+    # lang-ascending list order (list_sum over an ORDER BY list) to match
+    # the engine's sort_array + aggregate fold bit-for-bit.
+    sqls["q_mix"] = """
+        WITH hist AS (
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        ),
+        norm AS (
+            SELECT sum(n) AS total,
+                   list_sum(list(pow(CAST(n AS DOUBLE), 0.5) ORDER BY lang))
+                       AS wsum
+            FROM hist
+        ),
+        rates AS (
+            SELECT h.lang,
+                   least(1.0, 0.5 * n2.total
+                              * pow(CAST(h.n AS DOUBLE), 0.5)
+                              / n2.wsum / h.n) AS rate
+            FROM hist h CROSS JOIN norm n2
+        )
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+               round(r.rate, 6) AS accept_rate
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 1000000 < r.rate * 1000000
+    """
     sqls["q_fluency_buckets"] = f"""
         WITH scored AS ({sqls["q_fluency"]}),
         cuts AS (

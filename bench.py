@@ -111,6 +111,8 @@ HEADLINE = [
     "q_bm25",
     "q_bm25_stream_scores",
     "q_ivf_upsert",
+    "q_rrf",
+    "q_mix",
     "q_faithfulness",
 ]
 

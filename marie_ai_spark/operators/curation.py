@@ -442,3 +442,70 @@ def per_source_cap(
         .filter(F.col("_r2") <= cap)
         .drop("_pr", "_salt", "_r1", "_r2")
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling — the multinomial
+    source-weighting rule of XLM-R / mT5 data mixing: sample sources with
+    probability p_s proportional to n_s^alpha (alpha < 1 flattens the head,
+    upweights rare sources), with an expected kept-total of
+    target_frac * N rows. stratified_sample takes EXPLICIT per-stratum
+    fractions; this derives them from the corpus histogram.
+
+    Per-source acceptance rate r_s = min(1, target_frac * N * p_s / n_s);
+    a row is kept iff md5(key) mod 1e6 < r_s * 1e6 — the same
+    deterministic, RNG-free admission as stratified_sample (identical
+    keep-set on every engine and every re-run).
+
+    Everything stays relational: the source histogram is a tiny
+    aggregate; the normalizer sum(n_s^alpha) folds in SOURCE-ASCENDING
+    order (sort_array + aggregate) so the float total is
+    order-deterministic and hash-stable across engines; the rates join
+    back as a broadcast and the data path is one narrow filter — no
+    shuffle of the corpus, streaming-compatible once the histogram is
+    pinned. Returns the kept rows plus the audit rate per source.
+    """
+    w_expr = F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
+    hist = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    norm = hist.agg(
+        F.sum("_n").alias("_N"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(source_col).alias("s"), w_expr.alias("w")))
+            ),
+            F.lit(0.0),
+            lambda acc, p: acc + p["w"],
+        ).alias("_wsum"),
+    )
+    # norm derives from hist, so the crossJoin is a self-join in lineage
+    # terms: qualify every reference by its side to keep resolution
+    # unambiguous.
+    rates = hist.crossJoin(F.broadcast(norm)).select(
+        hist[source_col],
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_frac))
+            * norm["_N"]
+            * F.pow(hist["_n"].cast("double"), F.lit(float(alpha)))
+            / norm["_wsum"]
+            / hist["_n"],
+        ).alias("_rate"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000000
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(bucket < F.col("_rate") * 1000000)
+        .select(
+            *df.columns, F.round(F.col("_rate"), 6).alias("accept_rate")
+        )
+    )

@@ -433,3 +433,65 @@ def ivf_topk_indexed(
     return brute_force_topk(
         candidates.select("vec_id", "embedding"), query_vec, k
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    names: list[str],
+    k: int = 60,
+    topn: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): combine
+    the lexical (BM25) and semantic (ANN cosine) retrieval sides into one
+    ranking — rrf(d) = sum over systems of 1/(k + rank_s(d)), summing only
+    over systems that returned d. This is the standard hybrid-retrieval
+    merge the reference reaches via its FAISS+lexical hybrid annotator
+    (/root/reference/marie/extract/annotators/faiss_hybrid_annotator.py);
+    here it is a pure DataFrame op over the engine's own bm25_topk /
+    brute_force_topk / ivf_topk outputs.
+
+    Each input is a 2-column (id, score) TOP-K result — already bounded
+    (<= its k rows), so the unpartitioned rank window and the outer joins
+    below run over driver-scale metadata no matter the corpus size (the
+    corpus-sized work happened inside the retrieval queries). For fusing
+    per-query result sets in bulk, partition the same plan by query_id.
+
+    Determinism: ranks are row_number by (score desc, id asc) — total
+    order, engine-portable; contributions are added in input-list order,
+    left-to-right, so the float sum is order-deterministic and
+    hash-stable. Output: (doc_id, rrf, <name>_rank ... nullable ints),
+    top-`topn` by (rrf desc, doc_id).
+    """
+    from pyspark.sql import Window
+
+    fused = None
+    for i, (r, name) in enumerate(zip(rankings, names)):
+        id_col, score_col = r.columns[:2]
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        ranked = r.select(
+            F.col(id_col).alias("doc_id"),
+            F.row_number().over(w).alias(f"{name}_rank"),
+        )
+        fused = (
+            ranked
+            if fused is None
+            else fused.join(ranked, "doc_id", "full_outer")
+        )
+    contribs = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"{n}_rank")), F.lit(0.0)
+        )
+        for n in names
+    ]
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return (
+        fused.select(
+            "doc_id",
+            F.round(total, 6).alias("rrf"),
+            *[F.col(f"{n}_rank") for n in names],
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(topn)
+    )

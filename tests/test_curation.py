@@ -276,3 +276,57 @@ def test_contamination_flag_tokenizer_is_bit_equal_to_jvm(spark):
     }
     assert flagged == via_join
     assert {0, 1, 2, 3, 4, 5, 6} <= flagged and 7 not in flagged
+
+
+def test_temperature_mixture_rates_and_determinism(spark):
+    """p_s ~ n_s^alpha: rare sources upweighted, head flattened; md5
+    admission matches a python twin row-for-row; alpha=1 degenerates to
+    plain proportional sampling."""
+    import hashlib
+    import math
+
+    from marie_ai_spark.operators.curation import temperature_mixture_sample
+
+    rows = [(i, "head" if i < 80 else "tail") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture_sample(
+        df, source_col="source", key_col="doc_id", alpha=0.5, target_frac=0.5
+    ).collect()
+
+    rates = {r.source: r.accept_rate for r in out}
+    wsum = math.pow(80, 0.5) + math.pow(20, 0.5)
+    exp = {
+        "head": min(1.0, 0.5 * 100 * math.pow(80, 0.5) / wsum / 80),
+        "tail": min(1.0, 0.5 * 100 * math.pow(20, 0.5) / wsum / 20),
+    }
+    for s in ("head", "tail"):
+        assert abs(rates[s] - exp[s]) < 1e-6, s
+    assert rates["tail"] > rates["head"]  # flattening upweights the rare source
+
+    def admitted(i, rate):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000000
+        return b < rate * 1000000
+
+    want = {i for i, s in rows if admitted(i, exp[s])}
+    assert {r.doc_id for r in out} == want
+
+    # alpha=1: p_s proportional to n_s -> every source keeps target_frac
+    out1 = temperature_mixture_sample(
+        df, source_col="source", key_col="doc_id", alpha=1.0, target_frac=0.3
+    ).collect()
+    assert {r.accept_rate for r in out1} == {0.3}
+
+
+def test_temperature_mixture_caps_tiny_sources(spark):
+    """A source so small that its allowance exceeds its size is kept
+    whole (rate capped at 1.0)."""
+    from marie_ai_spark.operators.curation import temperature_mixture_sample
+
+    rows = [(i, "big") for i in range(400)] + [(1000, "rare"), (1001, "rare")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture_sample(
+        df, source_col="source", key_col="doc_id", alpha=0.3, target_frac=0.5
+    ).collect()
+    rare = [r for r in out if r.source == "rare"]
+    assert {r.doc_id for r in rare} == {1000, 1001}
+    assert all(r.accept_rate == 1.0 for r in rare)

@@ -1038,3 +1038,34 @@ def test_ivf_upsert_empties_a_cell_dir(spark, tmp_path):
         (x.vec_id, x.cell) for x in spark.read.parquet(path).collect()
     }
     assert got == {(1, 0), (2, 0), (3, 0)}
+
+
+def test_rrf_fuse_math_missing_docs_and_ties(spark):
+    """RRF: 1/(k+rank) per system, summed only over systems that returned
+    the doc; ranks are (score desc, id asc); ties rank by id."""
+    from marie_ai_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, s double"
+    )
+    sem = spark.createDataFrame([(2, 0.9), (4, 0.8)], "doc_id long, c double")
+    rows = {
+        r.doc_id: r
+        for r in rrf_fuse([lex, sem], ["lex", "sem"], k=60, topn=10).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].lex_rank == 1 and rows[1].sem_rank is None
+    assert rows[2].lex_rank == 2 and rows[2].sem_rank == 1
+    assert rows[4].lex_rank is None and rows[4].sem_rank == 2
+    assert abs(rows[2].rrf - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert abs(rows[1].rrf - round(1 / 61, 6)) < 1e-9
+    # present-in-both beats any single-system doc
+    best = max(rows.values(), key=lambda r: r.rrf)
+    assert best.doc_id == 2
+    # topn cuts by (rrf desc, doc_id)
+    top2 = [r.doc_id for r in rrf_fuse([lex, sem], ["lex", "sem"], topn=2).collect()]
+    assert top2 == [2, 1]
+    # equal scores: rank by ascending id
+    tie = spark.createDataFrame([(5, 1.0), (4, 1.0)], "doc_id long, s double")
+    ranks = {r.doc_id: r.t_rank for r in rrf_fuse([tie], ["t"], topn=5).collect()}
+    assert ranks == {4: 1, 5: 2}

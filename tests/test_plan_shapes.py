@@ -361,3 +361,18 @@ def test_hybrid_decision_plan_is_arrow_batched(spark, tr):
     assert _count(plan, "ArrowEvalPython") >= 1, plan[:800]
     assert _count(plan, "BroadcastNestedLoopJoin") <= 2, plan[:800]
     assert _count(plan, "SortMergeJoin") == 0, plan[:800]
+
+
+def test_temperature_mixture_broadcasts_rates(spark):
+    """The derived per-source rates join back as a BROADCAST; the data
+    path has no corpus-wide window and no sort — the only exchanges are
+    the two tiny histogram/normalizer aggregations."""
+    from marie_ai_spark.operators.curation import temperature_mixture_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        temperature_mixture_sample(docs, "lang", "doc_id", 0.5, 0.5)
+    )
+    assert _count(plan, "BroadcastHashJoin") >= 1, plan[:800]
+    assert _count(plan, "Window") == 0, plan[:800]
+    assert _count(plan, "SortMergeJoin") == 0, plan[:800]

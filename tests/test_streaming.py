@@ -454,3 +454,59 @@ def test_streaming_bm25_apply_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from bm25_stream").collect()
     }
     assert got_s == want
+
+
+def test_streaming_source_quota_admission(spark, tmp_path):
+    """Stateful per-source quota: cap admissions across micro-batches,
+    md5-deterministic within a batch, counter state carried by the
+    checkpointed state store."""
+    import hashlib
+
+    from marie_ai_spark.streaming.quota import source_quota
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, source string").parquet(inp)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            source_quota(stream, cap=6)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    wave1 = [(i, "a") for i in range(10)] + [(i, "b") for i in range(3)]
+    spark.createDataFrame(wave1, "doc_id long, source string").write.mode(
+        "append"
+    ).parquet(inp)
+    got1 = drain()
+    by_src = {}
+    for r in got1:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_src["a"]) == 6  # capped
+    assert by_src["b"] == {0, 1, 2}  # under cap: all admitted
+    # within-batch priority = (md5(doc_id), doc_id), same as per_source_cap
+    pr = sorted(range(10), key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+    assert by_src["a"] == set(pr[:6])
+
+    # wave 2: 'a' is already full -> zero admissions; 'b' admits the rest
+    wave2 = [(i, "a") for i in range(10, 20)] + [(3, "b"), (4, "b")]
+    spark.createDataFrame(wave2, "doc_id long, source string").write.mode(
+        "append"
+    ).parquet(inp)
+    got2 = drain()
+    new = [r for r in got2 if r.doc_id not in by_src.get(r.source, set())]
+    assert {(r.source, r.doc_id) for r in new} == {("b", 3), ("b", 4)}
+    b_orders = sorted(r.admit_order for r in got2 if r.source == "b")
+    assert b_orders == [1, 2, 3, 4, 5]  # ordinal continues across batches
+    assert sum(1 for r in got2 if r.source == "a") == 6  # still capped
