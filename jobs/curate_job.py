@@ -6,7 +6,9 @@ Stages (each individually oracle-verified as a registry query; this job
 is their production composition — one declarative plan per stage, staged
 through parquet so every stage is resumable/inspectable):
 
-  1. stratified language sampling     (stratified_sample)
+  1. composition sampling             (stratified_sample, or
+                                       temperature_mixture_sample
+                                       under --mix-alpha)
   2. benchmark decontamination        (contamination_flag, static shingle set)
   3. cross-corpus line dedup          (line_dedup semantics on documents)
   4. exact-substring duplicate cut    (cut_duplicate_spans)
@@ -45,6 +47,12 @@ def main():
     ap.add_argument("--token-budget", type=int, default=10**9,
                     help="per-source token budget (uniform default)")
     ap.add_argument("--ngram", type=int, default=13)
+    ap.add_argument("--mix-alpha", type=float, default=None,
+                    help="temperature mixture sampling exponent "
+                    "(p_s ~ n_s^alpha over lang); default: keep-all "
+                    "stratified sampling")
+    ap.add_argument("--mix-frac", type=float, default=0.5,
+                    help="expected kept fraction under --mix-alpha")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -57,6 +65,7 @@ def main():
         per_source_cap,
         scrub_pii,
         stratified_sample,
+        temperature_mixture_sample,
         token_budget_sample,
     )
     from marie_ai_spark.operators.dedup import cut_duplicate_spans, line_dedup
@@ -69,12 +78,20 @@ def main():
     docs = spark.read.parquet(args.input)
     counts = {"input": docs.count()}
 
-    # 1. composition sampling (keep-all default: fractions per lang can
-    # be tightened per run; deterministic md5 keep-set either way)
-    langs = [r.lang for r in docs.select("lang").distinct().collect()]
-    sampled = stratified_sample(
-        docs, "lang", {lg: 1.0 for lg in langs}, "doc_id"
-    )
+    # 1. composition sampling: temperature mixture (rates derived from
+    # the lang histogram) when --mix-alpha is set, else keep-all
+    # stratified sampling with explicit fractions; deterministic md5
+    # keep-set either way
+    if args.mix_alpha is not None:
+        sampled = temperature_mixture_sample(
+            docs, source_col="lang", key_col="doc_id",
+            alpha=args.mix_alpha, target_frac=args.mix_frac,
+        ).drop("accept_rate")
+    else:
+        langs = [r.lang for r in docs.select("lang").distinct().collect()]
+        sampled = stratified_sample(
+            docs, "lang", {lg: 1.0 for lg in langs}, "doc_id"
+        )
 
     # 2. decontamination against the benchmark slice
     if args.bench:
