@@ -468,8 +468,11 @@ def temperature_mixture_sample(
     order (sort_array + aggregate) so the float total is
     order-deterministic and hash-stable across engines; the rates join
     back as a broadcast and the data path is one narrow filter — no
-    shuffle of the corpus, streaming-compatible once the histogram is
-    pinned. Returns the kept rows plus the audit rate per source.
+    shuffle of the corpus. For the train-once/apply-on-ingest shape,
+    pin the derived rates from a reference corpus snapshot and re-apply
+    them statelessly with `stratified_sample` (explicit fractions) —
+    the admission predicate is identical. Returns the kept rows plus
+    the audit rate per source.
     """
     w_expr = F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
     hist = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))

@@ -465,7 +465,7 @@ def rrf_fuse(
     from pyspark.sql import Window
 
     fused = None
-    for i, (r, name) in enumerate(zip(rankings, names)):
+    for r, name in zip(rankings, names):
         id_col, score_col = r.columns[:2]
         w = Window.orderBy(F.desc(score_col), F.asc(id_col))
         ranked = r.select(
