@@ -36,6 +36,7 @@ from marie_ai_spark.operators import (
     relational,
     sessions,
     similarity,
+    split,
     textstats,
 )
 from marie_ai_spark.operators.extract import extract_transcripts, ordered_extracted
@@ -690,6 +691,33 @@ def q_mix(spark, sf):
     )
 
 
+def q_hash_split(spark, sf):
+    """Deterministic train/val/test assignment (round 6): md5-bucket
+    thresholds over doc_id — shuffle-free narrow projection, identical
+    assignment on every engine/run/scale."""
+    return split.hash_split(
+        _t(spark, sf, "documents").select("doc_id", "lang"),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        salt="r6",
+    )
+
+
+def q_split_leakage(spark, sf):
+    """Leakage-safe split (round 6): split key = near-dup cluster
+    representative (MinHash-LSH + connected components), so a whole
+    duplicate cluster co-travels and near-copies of eval docs cannot
+    leak into train; unclustered docs fall back to their own id."""
+    docs = _t(spark, sf, "documents")
+    clusters = dedup.duplicate_clusters(dedup.minhash_lsh_candidates(docs, n=3))
+    return split.leakage_safe_split(
+        docs.select("doc_id"),
+        clusters,
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        salt="r6",
+    )
+
+
 def q_extract_transcripts(spark, sf):
     """The real pipeline on synthetic transcripts (non-SQL-expressible:
     pandas-UDF payload parsing; correctness gate lives in tests/)."""
@@ -1061,6 +1089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_faithfulness": q_faithfulness,
         "q_vote_fallback": q_vote_fallback,
         "q_event_pivot": q_event_pivot,
+        "q_hash_split": q_hash_split,
+        "q_split_leakage": q_split_leakage,
     }
 
 
@@ -2728,5 +2758,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id,
                (d.doc_id IN (SELECT doc_id FROM hits)) AS contaminated
         FROM documents d WHERE d.doc_id % 50 <> 0
+    """
+    sqls["q_hash_split"] = """
+        SELECT doc_id, lang,
+               CASE WHEN b < 900000 THEN 'train'
+                    WHEN b < 950000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, lang,
+                     ('0x' || substr(md5('r6' || CAST(doc_id AS VARCHAR)),
+                                     1, 8))::BIGINT % 1000000 AS b
+              FROM documents)
+    """
+    # leakage-safe split: the full dup-clusters closure (itself a fully
+    # independent recursive-CTE algorithm) feeds the split key
+    sqls["q_split_leakage"] = f"""
+        WITH cl AS ({sqls["q_dup_clusters"]}),
+        keyed AS (
+            SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS split_key
+            FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+        )
+        SELECT doc_id, split_key,
+               CASE WHEN b < 900000 THEN 'train'
+                    WHEN b < 950000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, split_key,
+                     ('0x' || substr(md5('r6' || CAST(split_key AS VARCHAR)),
+                                     1, 8))::BIGINT % 1000000 AS b
+              FROM keyed)
     """
     return sqls

@@ -114,6 +114,8 @@ HEADLINE = [
     "q_rrf",
     "q_mix",
     "q_faithfulness",
+    "q_hash_split",
+    "q_split_leakage",
 ]
 
 

@@ -1,0 +1,119 @@
+"""Deterministic dataset splitting for training pipelines.
+
+The missing last step between curation and tokenization: assign every
+document to train/val/test ONCE, reproducibly, with no RNG state and no
+shuffle — and, when a near-duplicate graph is known, assign whole
+duplicate clusters together so a test document's near-copy can never
+leak into train (Lee et al. 2021, "Deduplicating Training Data Makes
+Language Models Better", shows eval contamination via near-dups is the
+common failure).
+
+Both operators use the engine-portable md5-bucket primitive already
+proven by `curation.stratified_sample`: bucket(key) = first 8 hex chars
+of md5(salt || key) as an integer mod 1e6. Properties that matter at
+100 TB:
+
+  - pure narrow projection: the split column is one CASE expression over
+    a hash of an existing column — no shuffle, no sort, no sampling
+    pass, no driver state; Catalyst keeps it inside the scan's
+    whole-stage-codegen span and any downstream filter on `split` is an
+    ordinary pushable predicate;
+  - re-runnable: the same (key, salt, fractions) always lands in the
+    same split, on any engine, at any scale, so an incremental ingest
+    assigns new documents consistently with last month's run;
+  - leakage-safe variant: the only non-narrow piece is a broadcast
+    left-join of the (doc_id, cluster_id) table, which is bounded by the
+    number of near-duplicate documents, not the corpus.
+
+Reference analog: marie-ai curates extraction corpora but leaves
+held-out selection to callers; this generalizes its deterministic
+md5-admission idiom (see curation.py) to the split decision itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _md5_bucket(key: Column, salt: str) -> Column:
+    """Engine-portable uniform bucket in [0, 1e6): DuckDB spells it
+    ('0x' || substr(md5(salt || CAST(key AS VARCHAR)), 1, 8))::BIGINT
+    % 1000000."""
+    keyed = F.concat(F.lit(salt), key.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("bigint")
+        % 1_000_000
+    )
+
+
+def _split_expr(key: Column, splits: dict[str, float], salt: str) -> Column:
+    """CASE over cumulative md5-bucket thresholds, in the dict's
+    insertion order; the LAST split is the `otherwise` branch so integer
+    truncation of the thresholds can never leave a row unassigned."""
+    if len(splits) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = _md5_bucket(key, salt)
+    names = list(splits)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = bucket < int(round(cum * 1_000_000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr.otherwise(names[-1])
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one new column, split
+    decided by md5(salt || key) bucket thresholds in the dict's order.
+    Fractions are exact in the large-N limit; changing `salt` re-rolls
+    every assignment (a fresh fold) without touching the data. To split
+    by any grouping key (source, conversation, dedup cluster) pass that
+    column as `key_col` — rows sharing the key always co-travel.
+    """
+    return df.withColumn(split_col, _split_expr(F.col(key_col), splits, salt))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """hash_split where the split key is the document's near-duplicate
+    cluster representative, so a whole duplicate cluster lands in ONE
+    split and near-copies of eval documents cannot leak into train.
+
+    `clusters` is the (doc_id, cluster_id) output of
+    `dedup.duplicate_clusters` (cluster_id = component-minimum doc_id —
+    the same key space as doc_id, so unclustered documents fall back to
+    their own id via coalesce). The join broadcasts: the cluster table
+    is bounded by the near-duplicate population, not the corpus, and the
+    corpus side stays un-shuffled. Exposes the chosen key as
+    `split_key` for audit (group by split_key to verify co-travel).
+    """
+    cl = clusters.select(
+        F.col(clusters.columns[0]).alias("__sp_id"),
+        F.col(clusters.columns[1]).alias("__sp_cluster"),
+    )
+    keyed = df.join(
+        F.broadcast(cl), on=df[id_col] == cl["__sp_id"], how="left"
+    ).drop("__sp_id")
+    key = F.coalesce(F.col("__sp_cluster"), F.col(id_col))
+    return (
+        keyed.withColumn("split_key", key)
+        .withColumn(split_col, _split_expr(F.col("split_key"), splits, salt))
+        .drop("__sp_cluster")
+    )
