@@ -15,6 +15,9 @@ through parquet so every stage is resumable/inspectable):
   5. PII scrub                        (scrub_pii)
   6. per-source composition caps      (per_source_cap)
   7. per-source token budgets         (token_budget_sample)
+  7b. held-out split assignment       (hash_split under --holdout; the
+                                       curated table records the split,
+                                       only train rows are packed)
   8. training-sequence packing        (pack_sequences)
 
 Cluster usage (north rule packaging):
@@ -51,6 +54,14 @@ def main():
                     help="temperature mixture sampling exponent "
                     "(p_s ~ n_s^alpha over lang); default: keep-all "
                     "stratified sampling")
+    ap.add_argument("--holdout", default=None,
+                    help="held-out split fractions, e.g. 'val=0.01,"
+                         "test=0.01' (train takes the remainder); the "
+                         "curated table gains a 'split' column and only "
+                         "train rows are packed")
+    ap.add_argument("--holdout-salt", default="",
+                    help="salt for the split hash (re-rolls every "
+                         "assignment without touching the data)")
     ap.add_argument("--mix-frac", type=float, default=0.5,
                     help="expected kept fraction under --mix-alpha")
     args = ap.parse_args()
@@ -69,6 +80,7 @@ def main():
         token_budget_sample,
     )
     from marie_ai_spark.operators.dedup import cut_duplicate_spans, line_dedup
+    from marie_ai_spark.operators.split import hash_split
     from marie_ai_spark.operators.tokenize import pack_sequences
 
     spark = SparkSession.builder.appName("marie-curate").getOrCreate()
@@ -148,15 +160,37 @@ def main():
         with_tok, "source", {}, "doc_id", "n_tok",
         default_budget=args.token_budget,
     )
+
+    # 7b. held-out split: deterministic md5-bucket assignment recorded
+    # in the curated table; train = remainder of the named fractions
+    if args.holdout:
+        held = {}
+        for part in args.holdout.split(","):
+            name, frac = part.split("=")
+            held[name.strip()] = float(frac)
+        fracs = {"train": round(1.0 - sum(held.values()), 9), **held}
+        budgeted = hash_split(
+            budgeted, "doc_id", fracs, salt=args.holdout_salt
+        )
     budgeted.write.mode("overwrite").parquet(f"{args.output}/curated")
     budgeted = spark.read.parquet(f"{args.output}/curated")
     counts["curated"] = budgeted.count()
     counts["curated_tokens"] = int(
         budgeted.agg(F.sum("n_tok")).first()[0] or 0
     )
+    to_pack = budgeted
+    if args.holdout:
+        counts["split_counts"] = {
+            r["split"]: r["n"]
+            for r in budgeted.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # eval splits are held out as documents; only train is packed
+        to_pack = budgeted.filter(F.col("split") == "train")
 
     # 8. packing manifest
-    packed = pack_sequences(budgeted, "doc_id", "n_tok", args.seq_len)
+    packed = pack_sequences(to_pack, "doc_id", "n_tok", args.seq_len)
     packed.write.mode("overwrite").parquet(f"{args.output}/packed")
     packed = spark.read.parquet(f"{args.output}/packed")
     counts["packed_spans"] = packed.count()
