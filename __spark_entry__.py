@@ -2765,7 +2765,7 @@ def oracle_sql() -> dict[str, str]:
                     WHEN b < 950000 THEN 'val'
                     ELSE 'test' END AS split
         FROM (SELECT doc_id, lang,
-                     ('0x' || substr(md5('r6' || CAST(doc_id AS VARCHAR)),
+                     ('0x' || substr(md5('split|r6' || CAST(doc_id AS VARCHAR)),
                                      1, 8))::BIGINT % 1000000 AS b
               FROM documents)
     """
@@ -2782,7 +2782,7 @@ def oracle_sql() -> dict[str, str]:
                     WHEN b < 950000 THEN 'val'
                     ELSE 'test' END AS split
         FROM (SELECT doc_id, split_key,
-                     ('0x' || substr(md5('r6' || CAST(split_key AS VARCHAR)),
+                     ('0x' || substr(md5('split|r6' || CAST(split_key AS VARCHAR)),
                                      1, 8))::BIGINT % 1000000 AS b
               FROM keyed)
     """

@@ -38,9 +38,19 @@ from pyspark.sql import functions as F
 
 def _md5_bucket(key: Column, salt: str) -> Column:
     """Engine-portable uniform bucket in [0, 1e6): DuckDB spells it
-    ('0x' || substr(md5(salt || CAST(key AS VARCHAR)), 1, 8))::BIGINT
-    % 1000000."""
-    keyed = F.concat(F.lit(salt), key.cast("string"))
+    ('0x' || substr(md5('split|' || salt || CAST(key AS VARCHAR)), 1,
+    8))::BIGINT % 1000000.
+
+    The fixed 'split|' domain tag is load-bearing: the sampling
+    operators (stratified_sample, temperature_mixture_sample, the
+    token-budget priority) admit rows by UNSALTED md5(key) buckets, so
+    a split keyed on the same hash would be perfectly correlated with
+    the admission decision — every sampling survivor has a LOW bucket,
+    and with cumulative thresholds the val/test splits (the high bucket
+    ranges) come out empty. The tag makes the split hash independent of
+    every admission hash by construction, even with the default salt.
+    """
+    keyed = F.concat(F.lit("split|" + salt), key.cast("string"))
     return (
         F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("bigint")
         % 1_000_000

@@ -44,13 +44,33 @@ def test_duckdb_twin_parity(spark, docs):
                     WHEN b < 950000 THEN 'val'
                     ELSE 'test' END AS split
         FROM (SELECT r AS doc_id,
-                     ('0x' || substr(md5('r6' || CAST(r AS VARCHAR)), 1, 8))::BIGINT
+                     ('0x' || substr(md5('split|r6' || CAST(r AS VARCHAR)), 1, 8))::BIGINT
                      % 1000000 AS b
               FROM range(20000) t(r))
         ORDER BY doc_id
         """
     ).fetchall()
     assert got == [tuple(r) for r in want]
+
+
+def test_independent_of_sampling_admission(spark, docs):
+    """Regression: the md5-admission samplers keep rows with LOW
+    unsalted md5(key) buckets; an un-domain-separated split hash would
+    send every sampling survivor to 'train' and leave val/test EMPTY
+    (observed with curate_job --mix-alpha + --holdout before the
+    'split|' domain tag)."""
+    from marie_ai_spark.operators import curation
+
+    kept = curation.stratified_sample(
+        docs, "src", {str(i): 0.5 for i in range(7)}, "doc_id"
+    )
+    out = split.hash_split(kept, "doc_id", SPLITS)  # default salt
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    for name, frac in SPLITS.items():
+        assert counts.get(name, 0) > 0, (name, counts)
+        assert abs(counts[name] / n - frac) < 0.015, (name, counts)
 
 
 def test_salt_rerolls(spark, docs):
