@@ -231,6 +231,9 @@ def main():
     summary = {
         "metric": "total_sec",
         "value": round(total, 1),
+        # legacy alias: rounds 1-5 keyed this stdout line on
+        # 'total_headline_runtime'; emit both so old parsers keep matching
+        "total_headline_runtime": round(total, 1),
         "unit": "sec",
         "queries": {k: _compact(v) for k, v in timings.items()},
         "sf": sf,

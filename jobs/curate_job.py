@@ -167,7 +167,22 @@ def main():
         held = {}
         for part in args.holdout.split(","):
             name, frac = part.split("=")
-            held[name.strip()] = float(frac)
+            name, frac = name.strip(), float(frac)
+            if name == "train":
+                raise SystemExit(
+                    "--holdout names the held-out fractions only; 'train' "
+                    "is reserved (it is derived as the remainder)"
+                )
+            if not 0.0 < frac < 1.0:
+                raise SystemExit(
+                    f"--holdout fraction {name}={frac} must be in (0, 1)"
+                )
+            held[name] = frac
+        if sum(held.values()) >= 1.0:
+            raise SystemExit(
+                f"--holdout fractions sum to {sum(held.values())}; must be "
+                "< 1 so a train remainder exists"
+            )
         fracs = {"train": round(1.0 - sum(held.values()), 9), **held}
         budgeted = hash_split(
             budgeted, "doc_id", fracs, salt=args.holdout_salt

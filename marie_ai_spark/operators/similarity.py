@@ -454,7 +454,8 @@ def rrf_fuse(
     (<= its k rows), so the unpartitioned rank window and the outer joins
     below run over driver-scale metadata no matter the corpus size (the
     corpus-sized work happened inside the retrieval queries). For fusing
-    per-query result sets in bulk, partition the same plan by query_id.
+    per-query result sets in bulk use `rrf_fuse_bulk`, which partitions
+    the same plan by query_id.
 
     Determinism: ranks are row_number by (score desc, id asc) — total
     order, engine-portable; contributions are added in input-list order,
@@ -494,4 +495,74 @@ def rrf_fuse(
         )
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(topn)
+    )
+
+
+def rrf_fuse_bulk(
+    rankings: list[DataFrame],
+    names: list[str],
+    k: int = 60,
+    topn: int = 20,
+    query_col: str = "query_id",
+) -> DataFrame:
+    """Bulk reciprocal-rank fusion: `rrf_fuse` generalized to MANY queries
+    at once — the hybrid-retrieval EVALUATION path (fuse every eval
+    query's lexical and semantic result lists in one job, not one driver
+    round-trip per query).
+
+    Each input is a (query_col, id, score) per-query top-k table (id and
+    score are the first two non-query columns, any names). Scale shape:
+    every window below is PARTITIONED BY query_col — rank assignment,
+    the full-outer merge (keyed on (query, doc)), and the final per-query
+    top-`topn` are all hash-distributed over queries, so the plan carries
+    no single-partition window and no driver-side state; per-query input
+    is already top-k-bounded, so partitions stay tiny no matter the
+    corpus. Determinism matches rrf_fuse: ranks by (score desc, id asc),
+    contributions summed in input-list order, per-query cut by
+    (rrf desc, doc_id asc).
+
+    Output: (query_col, doc_id, rrf, <name>_rank ...), `topn` rows per
+    query.
+    """
+    from pyspark.sql import Window
+
+    fused = None
+    for r, name in zip(rankings, names):
+        rest = [c for c in r.columns if c != query_col]
+        id_col, score_col = rest[:2]
+        w = Window.partitionBy(query_col).orderBy(
+            F.desc(score_col), F.asc(id_col)
+        )
+        ranked = r.select(
+            F.col(query_col),
+            F.col(id_col).alias("doc_id"),
+            F.row_number().over(w).alias(f"{name}_rank"),
+        )
+        fused = (
+            ranked
+            if fused is None
+            else fused.join(ranked, [query_col, "doc_id"], "full_outer")
+        )
+    contribs = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"{n}_rank")), F.lit(0.0)
+        )
+        for n in names
+    ]
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    wq = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf"), F.asc("doc_id")
+    )
+    return (
+        fused.select(
+            query_col,
+            "doc_id",
+            F.round(total, 6).alias("rrf"),
+            *[F.col(f"{n}_rank") for n in names],
+        )
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= topn)
+        .drop("__rn")
     )

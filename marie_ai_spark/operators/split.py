@@ -63,6 +63,11 @@ def _split_expr(key: Column, splits: dict[str, float], salt: str) -> Column:
     truncation of the thresholds can never leave a row unassigned."""
     if len(splits) < 2:
         raise ValueError("need at least two splits")
+    for name, frac in splits.items():
+        if not 0.0 < frac < 1.0:
+            raise ValueError(
+                f"split fraction {name!r}={frac} must be in (0, 1)"
+            )
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-6:
         raise ValueError(f"split fractions must sum to 1, got {total}")

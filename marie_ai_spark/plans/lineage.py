@@ -108,7 +108,15 @@ def append_lineage(spark: SparkSession, path: str, rows: list[dict]) -> None:
         name = st.getPath().getName()
         if name.startswith(("_", ".")):
             continue
-        fs.rename(st.getPath(), Path(f"{path}/part-{tag}-{i}.parquet"))
+        dest = Path(f"{path}/part-{tag}-{i}.parquet")
+        # Hadoop FileSystem.rename reports most failures by returning
+        # false, not throwing — an unchecked false here would silently
+        # drop the bucket's lineage rows and resume would reprocess it.
+        if not fs.rename(st.getPath(), dest):
+            fs.delete(Path(stage), True)
+            raise IOError(
+                f"append_lineage: rename {st.getPath()} -> {dest} failed"
+            )
         i += 1
     fs.delete(Path(stage), True)
 

@@ -1069,3 +1069,39 @@ def test_rrf_fuse_math_missing_docs_and_ties(spark):
     tie = spark.createDataFrame([(5, 1.0), (4, 1.0)], "doc_id long, s double")
     ranks = {r.doc_id: r.t_rank for r in rrf_fuse([tie], ["t"], topn=5).collect()}
     assert ranks == {4: 1, 5: 2}
+
+
+def test_rrf_fuse_bulk_matches_per_query_fuse(spark):
+    """rrf_fuse_bulk over tagged per-query tables == rrf_fuse run one
+    query at a time — same ranks, same rrf sums, same topn cut."""
+    from marie_ai_spark.operators.similarity import rrf_fuse, rrf_fuse_bulk
+
+    lex_q = {
+        "a": [(1, 9.0), (2, 5.0), (3, 1.0)],
+        "b": [(2, 7.0), (5, 6.0)],
+    }
+    sem_q = {
+        "a": [(2, 0.9), (4, 0.8)],
+        "b": [(5, 0.7), (1, 0.1)],
+    }
+    lex = spark.createDataFrame(
+        [(q, d, s) for q, rows in lex_q.items() for d, s in rows],
+        "query_id string, doc_id long, s double",
+    )
+    sem = spark.createDataFrame(
+        [(q, d, s) for q, rows in sem_q.items() for d, s in rows],
+        "query_id string, doc_id long, c double",
+    )
+    bulk = {
+        (r.query_id, r.doc_id): (r.rrf, r.lex_rank, r.sem_rank)
+        for r in rrf_fuse_bulk(
+            [lex, sem], ["lex", "sem"], k=60, topn=3
+        ).collect()
+    }
+    expect = {}
+    for q in ("a", "b"):
+        l1 = spark.createDataFrame(lex_q[q], "doc_id long, s double")
+        s1 = spark.createDataFrame(sem_q[q], "doc_id long, c double")
+        for r in rrf_fuse([l1, s1], ["lex", "sem"], k=60, topn=3).collect():
+            expect[(q, r.doc_id)] = (r.rrf, r.lex_rank, r.sem_rank)
+    assert bulk == expect

@@ -376,3 +376,26 @@ def test_temperature_mixture_broadcasts_rates(spark):
     assert _count(plan, "BroadcastHashJoin") >= 1, plan[:800]
     assert _count(plan, "Window") == 0, plan[:800]
     assert _count(plan, "SortMergeJoin") == 0, plan[:800]
+
+
+def test_rrf_bulk_windows_all_partitioned_by_query(spark):
+    """Bulk RRF scale gate (VERDICT r6 item 5): every Window in the fused
+    plan — rank assignment per system AND the final per-query top-n cut —
+    is partitioned by query_id; a global single-partition window would
+    serialize the whole evaluation set onto one task."""
+    from marie_ai_spark.operators.similarity import rrf_fuse_bulk
+
+    lex = spark.createDataFrame(
+        [("a", 1, 9.0), ("a", 2, 5.0), ("b", 2, 7.0)],
+        "query_id string, doc_id long, s double",
+    )
+    sem = spark.createDataFrame(
+        [("a", 2, 0.9), ("b", 5, 0.7)],
+        "query_id string, doc_id long, c double",
+    )
+    plan = _plan(rrf_fuse_bulk([lex, sem], ["lex", "sem"], topn=3))
+    assert _count(plan, "Window") >= 3, plan[:800]
+    specs = re.findall(r"windowspecdefinition\(([^,]+)", plan)
+    assert specs, plan[:800]
+    for first_arg in specs:
+        assert "query_id" in first_arg, (first_arg, plan[:800])
