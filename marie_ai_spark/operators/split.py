@@ -106,6 +106,7 @@ def leakage_safe_split(
     id_col: str = "doc_id",
     salt: str = "",
     split_col: str = "split",
+    max_broadcast_clusters: int = 5_000_000,
 ) -> DataFrame:
     """hash_split where the split key is the document's near-duplicate
     cluster representative, so a whole duplicate cluster lands in ONE
@@ -114,17 +115,26 @@ def leakage_safe_split(
     `clusters` is the (doc_id, cluster_id) output of
     `dedup.duplicate_clusters` (cluster_id = component-minimum doc_id —
     the same key space as doc_id, so unclustered documents fall back to
-    their own id via coalesce). The join broadcasts: the cluster table
-    is bounded by the near-duplicate population, not the corpus, and the
-    corpus side stays un-shuffled. Exposes the chosen key as
-    `split_key` for audit (group by split_key to verify co-travel).
+    their own id via coalesce). Exposes the chosen key as `split_key`
+    for audit (group by split_key to verify co-travel).
+
+    Join strategy is GATED, not assumed (VERDICT r6 item 4): the cluster
+    table is bounded by the near-duplicate population, which on a
+    web-scale corpus can be 30-50% of all documents — far past broadcast
+    limits. A bounded probe (limit(N+1).count(), early-exit, never a
+    full count) picks broadcast when the table is provably small and
+    falls back to an ordinary shuffled join above the bound — same
+    idiom as hybrid's decision gate. The corpus side is shuffled only
+    in the fallback, and only on the join key.
     """
     cl = clusters.select(
         F.col(clusters.columns[0]).alias("__sp_id"),
         F.col(clusters.columns[1]).alias("__sp_cluster"),
     )
+    probe = cl.limit(max_broadcast_clusters + 1).count()
+    right = cl if probe > max_broadcast_clusters else F.broadcast(cl)
     keyed = df.join(
-        F.broadcast(cl), on=df[id_col] == cl["__sp_id"], how="left"
+        right, on=df[id_col] == cl["__sp_id"], how="left"
     ).drop("__sp_id")
     key = F.coalesce(F.col("__sp_cluster"), F.col(id_col))
     return (

@@ -132,3 +132,23 @@ def test_leakage_safe_plan_broadcasts(spark):
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:600]
     assert "SortMergeJoin" not in plan, plan[:600]
+
+
+def test_leakage_safe_gate_fallback_above_bound(spark):
+    """VERDICT r6 item 4: above max_broadcast_clusters the join must NOT
+    be broadcast-hinted (the cluster table is corpus-fraction-sized at
+    web scale) and the fallback output is row-identical to the broadcast
+    form."""
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    clusters = spark.createDataFrame(
+        [(i, i - i % 4) for i in range(0, 400, 2)],
+        "doc_id bigint, cluster_id bigint",
+    )
+    hinted = split.leakage_safe_split(docs, clusters, SPLITS, salt="g")
+    fallback = split.leakage_safe_split(
+        docs, clusters, SPLITS, salt="g", max_broadcast_clusters=10
+    )
+    plan = fallback._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan[:600]
+    assert fallback.exceptAll(hinted).count() == 0
+    assert hinted.exceptAll(fallback).count() == 0
