@@ -290,7 +290,9 @@ def ivf_write_index(
     """Materialize the IVF index as a cell-partitioned parquet table — the
     100 TB layout: probes then touch only the nprobe nearest cells'
     partitions (directory-level pruning, no full scan). The quantizer
-    itself is metadata; persist it next to the data."""
+    itself is metadata; persist it next to the data, along with the
+    per-cell vec_id manifest that lets `ivf_upsert` prune its stale-copy
+    hunt to candidate cells."""
     import json
 
     ivf_assign(embeddings, centroids).write.mode("overwrite").partitionBy(
@@ -300,6 +302,262 @@ def ivf_write_index(
     spark.createDataFrame(
         [(json.dumps(centroids),)], "centroids_json string"
     ).coalesce(1).write.mode("overwrite").parquet(path + "_quantizer")
+    _build_manifest_rows(
+        spark.read.parquet(path).select("cell", "vec_id")
+    ).write.mode("overwrite").parquet(path + "_manifest")
+
+
+# ------------------------------------------------------ id manifest (bloom)
+
+_MANIFEST_SCHEMA = (
+    "cell int, n long, min_id long, max_id long, "
+    "bloom binary, bloom_bits int, bloom_k int"
+)
+_BLOOM_K = 7  # ~1% fpr at 10 bits/key
+_BLOOM_MAX_BITS = 1 << 23  # 1 MiB per cell; beyond, fpr degrades gracefully
+
+
+def _bloom_mix(x, seed: int):
+    """splitmix64-style avalanche over uint64 ids; deterministic and
+    library-free, shared by manifest build and membership probe."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        z = x + np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _build_manifest_rows(cell_ids: DataFrame) -> DataFrame:
+    """Per-cell vec_id manifest (VERDICT r6 item 3): count, id range and
+    a bloom filter, built as one Arrow stage per cell. The bloom is
+    capped at 1 MiB per cell — on cells holding more ids than the cap
+    covers at 10 bits/key the false-positive rate rises (never the
+    false-NEGATIVE rate: pruning stays sound, merely less sharp), so
+    the manifest degrades toward the min/max range check instead of
+    growing unboundedly."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        idsu = ids.view(np.uint64)
+        n = len(ids)
+        bits = int(
+            min(
+                _BLOOM_MAX_BITS,
+                max(1024, 1 << int(np.ceil(np.log2(max(2, 10 * n))))),
+            )
+        )
+        arr = np.zeros(bits // 8, np.uint8)
+        for i in range(_BLOOM_K):
+            pos = (_bloom_mix(idsu, i + 1) % np.uint64(bits)).astype(
+                np.int64
+            )
+            np.bitwise_or.at(
+                arr, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+            )
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "n": [n],
+                "min_id": [int(ids.min())],
+                "max_id": [int(ids.max())],
+                "bloom": [arr.tobytes()],
+                "bloom_bits": [bits],
+                "bloom_k": [_BLOOM_K],
+            }
+        )
+
+    return cell_ids.groupBy("cell").applyInPandas(fn, _MANIFEST_SCHEMA)
+
+
+def _read_manifest(spark, path: str):
+    """Manifest rows, or None when absent/unreadable (the hunt then
+    falls back to the full vec_id-projection scan and the commit rebuilds
+    the manifest). Driver memory is bounded: blooms load only while
+    their total size fits _MANIFEST_COLLECT_CAP, else range-only rows."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    mpath = path + "_manifest"
+    if not fs.exists(P(mpath)):
+        return None
+    try:
+        m = spark.read.parquet(mpath)
+        total = m.agg(F.sum(F.length("bloom"))).first()[0] or 0
+        if total > _MANIFEST_COLLECT_CAP:
+            rows = m.select("cell", "n", "min_id", "max_id").collect()
+            return [
+                (r.cell, r.min_id, r.max_id, None, 0, 0) for r in rows
+            ]
+        rows = m.collect()
+        return [
+            (r.cell, r.min_id, r.max_id, bytes(r.bloom), r.bloom_bits,
+             r.bloom_k)
+            for r in rows
+        ]
+    except Exception:
+        return None
+
+
+_MANIFEST_COLLECT_CAP = 64 * 1024 * 1024
+
+
+def _manifest_candidate_cells(
+    ids: DataFrame, infos: list[tuple], spark
+) -> list[int]:
+    """Cells whose manifest CAN contain any of the batch ids: the blooms
+    (bounded index metadata) are broadcast and the BATCH is streamed
+    through them in Arrow partitions — distributed over the batch, never
+    a collect of it. Range check first, bloom probe second; a cell with
+    a degraded (None) bloom passes on range alone. Sound: blooms have no
+    false negatives, so every cell truly holding a batch id is returned."""
+    import numpy as np
+    import pandas as pd
+
+    if not infos:
+        return []
+    bc = spark.sparkContext.broadcast(infos)
+
+    def fn(it):
+        found = set()
+        for pdf in it:
+            ids_np = pdf["vec_id"].to_numpy(np.int64)
+            idsu = ids_np.view(np.uint64)
+            for cell, mn, mx, bloom, bits, k in bc.value:
+                if cell in found:
+                    continue
+                m = (ids_np >= mn) & (ids_np <= mx)
+                if not m.any():
+                    continue
+                if bloom is None:
+                    found.add(cell)
+                    continue
+                sel = idsu[m]
+                arr = np.frombuffer(bloom, np.uint8)
+                ok = np.ones(len(sel), bool)
+                for i in range(k):
+                    pos = (
+                        _bloom_mix(sel, i + 1) % np.uint64(bits)
+                    ).astype(np.int64)
+                    ok &= (
+                        (arr[pos >> 3].astype(np.uint32) >> (pos & 7)) & 1
+                    ) == 1
+                    if not ok.any():
+                        break
+                if ok.any():
+                    found.add(cell)
+        yield pd.DataFrame({"cell": np.array(sorted(found), dtype="int32")})
+
+    return sorted(
+        r.cell
+        for r in ids.mapInPandas(fn, "cell int").distinct().collect()
+    )
+
+
+# --------------------------------------------- crash-safe upsert commit
+
+#: diagnostics of the most recent ivf_upsert in this process (tests and
+#: operators read it the way hybrid exposes LAST_CALL_INFO)
+LAST_UPSERT_INFO: dict = {}
+
+
+def _ivf_fs(spark, path: str):
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return P, fs
+
+
+def _rename_or_raise(fs, src, dst) -> None:
+    if not fs.rename(src, dst):
+        raise IOError(f"ivf_upsert: rename {src} -> {dst} failed")
+
+
+def ivf_recover(spark, path: str) -> bool:
+    """Repair an interrupted ivf_upsert commit (VERDICT r6 item 2 /
+    ADVICE r6 medium — the compact_extracted recovery pattern applied to
+    the index seam). Commit protocol: stage (partitioned by cell) ->
+    verify counts+checksums -> write a pending MARKER (atomic dir
+    rename) -> per-cell swap renames -> cleanup -> delete marker last.
+
+    Recovery rule: a pending marker means the staged image was already
+    verified complete, so the repair rolls FORWARD — every marker cell
+    still in staging is swapped in, every marker-emptied cell's live dir
+    is removed — leaving the index fully post-upsert; the possibly-stale
+    manifest is dropped (rebuilt on the next upsert). Staging/trash dirs
+    with NO marker are pre-commit debris: deleted, leaving the index
+    fully pre-upsert. Either way the index is never part-old/part-new
+    after recovery, and orphaned scratch dirs are reaped. The scan is
+    one bounded listStatus (n_cells + debris entries); no-op when clean.
+    Returns True if anything was repaired."""
+    P, fs = _ivf_fs(spark, path)
+    root = P(path)
+    if not fs.exists(root):
+        return False
+    pending, debris = [], []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(".upsert_pending_") and not name.endswith(
+            ".tmp"
+        ):
+            pending.append(name)
+        elif name.startswith(
+            (".upsert_staging_", ".upsert_trash_",
+             ".upsert_manifest_stage_", ".upsert_pending_")
+        ):
+            debris.append(name)
+    if not pending and not debris:
+        return False
+    live_runs = set()
+    for name in pending:
+        row = spark.read.parquet(f"{path}/{name}").first()
+        run, cells, emptied = row.run, list(row.cells), list(row.emptied)
+        live_runs.add(run)
+        stage, trash = (
+            f"{path}/.upsert_staging_{run}",
+            f"{path}/.upsert_trash_{run}",
+        )
+        fs.mkdirs(P(trash))
+        for c in cells:
+            s, live = P(f"{stage}/cell={c}"), P(f"{path}/cell={c}")
+            if fs.exists(s):
+                if fs.exists(live):
+                    _rename_or_raise(fs, live, P(f"{trash}/cell={c}"))
+                _rename_or_raise(fs, s, live)
+        for c in emptied:
+            live = P(f"{path}/cell={c}")
+            if fs.exists(live):
+                _rename_or_raise(
+                    fs, live, P(f"{trash}/cell={c}__emptied")
+                )
+        fs.delete(P(trash), True)
+        fs.delete(P(stage), True)
+        # the manifest may predate this commit: drop it; the next upsert
+        # falls back to the full hunt and rebuilds it
+        fs.delete(P(path + "_manifest"), True)
+        fs.delete(P(f"{path}/{name}"), True)
+    for name in debris:
+        run = name.rsplit("_", 1)[-1].removesuffix(".tmp")
+        if run not in live_runs:
+            fs.delete(P(f"{path}/{name}"), True)
+    return True
+
+
+def _cell_checksums(df: DataFrame) -> dict:
+    """Per-cell (rows, order-independent checksum) over every column —
+    the staged-image verification (decimal(38,0) accumulator: ANSI-safe
+    at any row count, mirroring plans/pipeline.partition_metrics)."""
+    cols = [F.col(c) for c in df.columns]
+    rows = df.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)"))
+        .cast("string")
+        .alias("checksum"),
+    ).collect()
+    return {r.cell: (r.rows, r.checksum) for r in rows}
 
 
 def ivf_read_quantizer(spark, path: str) -> list[list[float]]:
@@ -329,26 +587,45 @@ def ivf_upsert(
     Scale shape, per phase:
       1. assign the batch JVM-side; collect its distinct cells — bounded
          by n_centroids, index metadata.
-      2. stale-copy hunt (skipped when new_ids_only=True): an UPDATED
-         embedding can move its vector to a different cell, which would
-         leave the old row stranded in a partition the merge never
-         rewrites. Scan ONLY the vec_id column of the NON-touched cells
-         with the batch ids broadcast into a semi-join — a columnar
-         projection + partition-pruned scan, no shuffle of the index —
-         and add any cell holding a stale copy to the touched set.
+      2. stale-copy hunt (skipped when new_ids_only=True — the documented
+         bulk-ingest default for insert-only waves): an UPDATED embedding
+         can move its vector to a different cell, which would leave the
+         old row stranded in a partition the merge never rewrites. The
+         per-cell id MANIFEST (count/min/max + bloom, maintained at
+         index-write and upsert time) first prunes the non-touched cells
+         to the ones that CAN hold a batch id (blooms broadcast, batch
+         streamed through them — no collect of the batch); only those
+         candidate cells' vec_id columns are then scanned with the batch
+         ids broadcast into a semi-join — a columnar projection +
+         partition-pruned scan, no shuffle of the index. A missing or
+         unreadable manifest degrades to the full non-touched-cell scan
+         (sound, just un-pruned) and is rebuilt at commit.
       3. merge = (touched-cell rows anti-joined on the broadcast batch
-         ids) UNION the assigned batch, staged to a scratch dir (Spark
-         refuses to overwrite a path it is reading), then committed with
-         DYNAMIC partition overwrite — only touched cell dirs are
-         replaced, every other partition's files are untouched bytes.
-      4. a touched cell whose rows were ALL moved away produces no
-         partition in the merge output, so dynamic overwrite would leave
-         its old files in place: such cell dirs are deleted explicitly.
+         ids) UNION the assigned batch, STAGED to a hidden scratch dir
+         partitioned by cell, then VERIFIED (per-cell rows +
+         order-independent checksum of the staged copy must equal the
+         merge recomputed from the still-untouched live table).
+      4. commit (crash-safe, VERDICT r6 item 2): a pending MARKER
+         recording the staged + emptied cells is written via atomic
+         rename; each staged cell dir is then swapped in by two renames
+         (live -> trash, staged -> live) and each emptied cell's live
+         dir renamed away; trash/stage/marker are deleted last. A crash
+         anywhere is repaired by `ivf_recover` (run at the start of
+         every upsert and indexed read): marker present -> roll FORWARD
+         to fully post-upsert (the stage was verified before the marker
+         existed); no marker -> debris is deleted, index fully
+         pre-upsert. Never part-old/part-new.
+      5. the manifest rows for touched cells are recomputed from the
+         committed data and swapped in; marker deletion is the commit
+         point for data + manifest together.
 
-    Returns {n_batch, cells_touched, cells_stale, cells_emptied}."""
+    Returns {n_batch, cells_touched, cells_stale, cells_emptied,
+    cells_hunted, hunt_mode}; the same diagnostics land in
+    LAST_UPSERT_INFO."""
     import uuid as _uuid
 
     spark = new_embeddings.sparkSession
+    ivf_recover(spark, path)
     centroids = ivf_read_quantizer(spark, path)
     index_cols = [
         c for c in spark.read.parquet(path).columns if c != "cell"
@@ -362,51 +639,132 @@ def ivf_upsert(
     touched = sorted(
         r.cell for r in batch.select("cell").distinct().collect()
     )
+    LAST_UPSERT_INFO.clear()
     if not touched:
+        LAST_UPSERT_INFO.update(hunt_mode="skipped", cells_hunted=[])
         return {"n_batch": 0, "cells_touched": [], "cells_stale": [],
-                "cells_emptied": []}
+                "cells_emptied": [], "cells_hunted": [],
+                "hunt_mode": "skipped"}
     ids = batch.select("vec_id").distinct()
     index = spark.read.parquet(path)  # (re-read after the column check)
     stale_cells: list[int] = []
+    hunt_cells: list[int] = []
+    hunt_mode = "skipped"
     if not new_ids_only:
-        stale_cells = sorted(
-            r.cell
-            for r in index.filter(~F.col("cell").isin(touched))
-            .join(F.broadcast(ids), "vec_id", "left_semi")
-            .select("cell")
-            .distinct()
-            .collect()
-        )
+        manifest = _read_manifest(spark, path)
+        if manifest is None:
+            hunt_mode = "full"
+            hunted = index.filter(~F.col("cell").isin(touched))
+        else:
+            hunt_mode = "manifest"
+            hunt_cells = _manifest_candidate_cells(
+                ids,
+                [m for m in manifest if m[0] not in set(touched)],
+                spark,
+            )
+            hunted = (
+                index.filter(F.col("cell").isin(hunt_cells))
+                if hunt_cells
+                else None
+            )
+        if hunted is not None:
+            stale_cells = sorted(
+                r.cell
+                for r in hunted
+                .join(F.broadcast(ids), "vec_id", "left_semi")
+                .select("cell")
+                .distinct()
+                .collect()
+            )
+    LAST_UPSERT_INFO.update(hunt_mode=hunt_mode, cells_hunted=hunt_cells)
     all_touched = sorted(set(touched) | set(stale_cells))
     keep_old = index.filter(F.col("cell").isin(all_touched)).join(
         F.broadcast(ids), "vec_id", "left_anti"
     )
     merged = keep_old.unionByName(batch.select(keep_old.columns))
 
-    stage = f"{path}__upsert_{_uuid.uuid4().hex}"
-    merged.write.mode("overwrite").parquet(stage)
-    staged = spark.read.parquet(stage)
-    (
-        staged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell")
-        .parquet(path)
+    run = _uuid.uuid4().hex
+    P, fs = _ivf_fs(spark, path)
+    stage = f"{path}/.upsert_staging_{run}"
+    merged.write.mode("overwrite").partitionBy("cell").parquet(stage)
+    # re-select in merged's column order AND types: `cell` comes back as
+    # an inferred partition column, and the checksum hashes (cols, types)
+    staged = spark.read.parquet(stage).select(
+        *[F.col(f.name).cast(f.dataType) for f in merged.schema.fields]
     )
-    nonempty = {r.cell for r in staged.select("cell").distinct().collect()}
-    emptied = sorted(set(all_touched) - nonempty)
-    jvm = spark._jvm
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    expect = _cell_checksums(merged)
+    got = _cell_checksums(staged)
+    if expect != got:
+        fs.delete(P(stage), True)
+        raise IOError(
+            f"ivf_upsert: staged image mismatch (expected {expect}, "
+            f"staged {got}); live index untouched"
+        )
+    staged_cells = sorted(got)
+    emptied = sorted(set(all_touched) - set(staged_cells))
+
+    marker_tmp = f"{path}/.upsert_pending_{run}.tmp"
+    marker = f"{path}/.upsert_pending_{run}"
+    spark.createDataFrame(
+        [(run, staged_cells, emptied)],
+        "run string, cells array<int>, emptied array<int>",
+    ).coalesce(1).write.mode("overwrite").parquet(marker_tmp)
+    _rename_or_raise(fs, P(marker_tmp), P(marker))
+
+    trash = f"{path}/.upsert_trash_{run}"
+    fs.mkdirs(P(trash))
+    for c in staged_cells:
+        live = P(f"{path}/cell={c}")
+        if fs.exists(live):
+            _rename_or_raise(fs, live, P(f"{trash}/cell={c}"))
+        _rename_or_raise(fs, P(f"{stage}/cell={c}"), live)
     for c in emptied:
-        fs.delete(Path(f"{path}/cell={c}"), True)
-    fs.delete(Path(stage), True)
+        live = P(f"{path}/cell={c}")
+        if fs.exists(live):
+            _rename_or_raise(fs, live, P(f"{trash}/cell={c}__emptied"))
+    fs.delete(P(trash), True)
+    fs.delete(P(stage), True)
+    _rewrite_manifest(spark, path, all_touched, run)
+    fs.delete(P(marker), True)
+
     n_batch = batch.count()
-    return {
+    result = {
         "n_batch": n_batch,
         "cells_touched": all_touched,
         "cells_stale": stale_cells,
         "cells_emptied": emptied,
+        "cells_hunted": hunt_cells,
+        "hunt_mode": hunt_mode,
     }
+    LAST_UPSERT_INFO.update(result)
+    return result
+
+
+def _rewrite_manifest(
+    spark, path: str, touched: list[int], run: str
+) -> None:
+    """Swap in fresh manifest rows for the touched cells (or rebuild the
+    whole manifest when it was missing): staged to a hidden dir, old
+    manifest deleted, stage renamed in. A crash between delete and
+    rename just leaves the manifest absent — the hunt then falls back to
+    the full scan, so the manifest is never trusted stale."""
+    P, fs = _ivf_fs(spark, path)
+    mpath = path + "_manifest"
+    live = spark.read.parquet(path).select("cell", "vec_id")
+    if fs.exists(P(mpath)):
+        fresh = _build_manifest_rows(
+            live.filter(F.col("cell").isin(touched))
+        )
+        keep = spark.read.parquet(mpath).filter(
+            ~F.col("cell").isin(touched)
+        )
+        new = keep.unionByName(fresh)
+    else:
+        new = _build_manifest_rows(live)
+    stage = f"{path}/.upsert_manifest_stage_{run}"
+    new.write.mode("overwrite").parquet(stage)
+    fs.delete(P(mpath), True)
+    _rename_or_raise(fs, P(stage), P(mpath))
 
 
 def ivf_topk_indexed(
@@ -418,9 +776,12 @@ def ivf_topk_indexed(
 ) -> DataFrame:
     """ANN top-k over the WRITTEN index: the cell filter is a partition
     predicate, so the scan reads only the probed cells' files (verify via
-    PartitionFilters in the plan — tested)."""
+    PartitionFilters in the plan — tested). Repairs an interrupted
+    upsert commit first (bounded listStatus, no-op when clean) so a
+    reader never sees a part-old/part-new index."""
     import builtins
 
+    ivf_recover(spark, path)
     centroids = ivf_read_quantizer(spark, path)
     dists = [
         (builtins.sum((a - b) ** 2 for a, b in zip(query_vec, c)), ci)

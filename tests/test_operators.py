@@ -1010,8 +1010,14 @@ def test_ivf_upsert_insert_update_move_and_empty(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "cell" in plan
-    # no leftover staging dirs
-    assert not [p.name for p in tmp_path.iterdir() if "__upsert_" in p.name]
+    # no leftover scratch state (staging/trash/pending live INSIDE the
+    # index dir as dot-dirs since the crash-safe commit)
+    assert not [p.name for p in tmp_path.iterdir() if "upsert" in p.name]
+    assert not [
+        p.name
+        for p in (tmp_path / "ivf_index").iterdir()
+        if p.name.startswith(".upsert_")
+    ]
 
 
 def test_ivf_upsert_empties_a_cell_dir(spark, tmp_path):
@@ -1038,6 +1044,47 @@ def test_ivf_upsert_empties_a_cell_dir(spark, tmp_path):
         (x.vec_id, x.cell) for x in spark.read.parquet(path).collect()
     }
     assert got == {(1, 0), (2, 0), (3, 0)}
+
+
+def test_ivf_upsert_manifest_prunes_hunt(spark, tmp_path):
+    """VERDICT r6 item 3: with well-separated cells and an update batch
+    whose ids live in exactly one non-touched cell, the stale-copy hunt
+    must consult the id manifest and scan ONLY that candidate cell —
+    not every non-touched cell's vec_id column — while still finding
+    and clearing the stale copy."""
+    rows = [
+        (i + 10 * c, [float(10 * (c % 2)) + 0.1 * i,
+                      float(10 * (c // 2)) + 0.1 * i])
+        for c in range(4)
+        for i in range(10)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [10.0, 10.0]]
+    path = str(tmp_path / "idx")
+    similarity.ivf_write_index(emb, cents, path)
+    # move vec 15 (cell 1: ids 10-19) over to cell 0's side
+    batch = spark.createDataFrame(
+        [(15, [0.5, 0.5])], "vec_id long, embedding array<double>"
+    )
+    r = similarity.ivf_upsert(batch, path)
+    assert r["hunt_mode"] == "manifest"
+    # id ranges are disjoint per cell, so the manifest prunes the hunt
+    # to exactly the cell holding the stale copy
+    assert r["cells_hunted"] == [1], r
+    assert r["cells_stale"] == [1] and r["cells_touched"] == [0, 1]
+    got = {
+        (x.vec_id, x.cell)
+        for x in spark.read.parquet(path).select("vec_id", "cell").collect()
+    }
+    assert (15, 0) in got
+    assert not [v for v, c in got if v == 15 and c != 0]
+    assert len(got) == 40
+    # insert-only waves skip the hunt entirely
+    ins = spark.createDataFrame(
+        [(100, [9.9, 0.2])], "vec_id long, embedding array<double>"
+    )
+    r2 = similarity.ivf_upsert(ins, path, new_ids_only=True)
+    assert r2["hunt_mode"] == "skipped" and r2["cells_hunted"] == []
 
 
 def test_rrf_fuse_math_missing_docs_and_ties(spark):

@@ -475,3 +475,102 @@ def test_concurrent_disjoint_bucket_writers_converge(spark, tmp_path):
     r2 = run_extract(spark, inp, out, run_id="wa", n_buckets=8,
                      buckets=[0, 1, 2, 3])
     assert r2["processed"] == 0 and r2["skipped"] == 4
+
+
+def _ivf_fixture(spark, tmp_path, name):
+    """Index over vec_id % 5 != 0 plus an update/insert batch (the
+    q_ivf_upsert shape: negated %11 rows move cells, %5 rows are new)."""
+    from marie_ai_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.train_ivf_centroids(emb, n_centroids=4, iters=3)
+    path = str(tmp_path / name)
+    similarity.ivf_write_index(
+        emb.filter(F.col("vec_id") % 5 != 0), cents, path
+    )
+    neg = F.transform(F.col("embedding"), lambda x: -x).alias("embedding")
+    batch = (
+        emb.filter(F.col("vec_id") % 11 == 0)
+        .select("vec_id", neg, "label")
+        .unionByName(
+            emb.filter(
+                (F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 11 != 0)
+            ).select("vec_id", "embedding", "label")
+        )
+    )
+    return path, batch
+
+
+def _ivf_state(spark, path):
+    return {
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(path).select("vec_id", "cell").collect()
+    }
+
+
+@pytest.mark.parametrize("crash", ["before_marker", "mid_swap", "after_swaps"])
+def test_ivf_upsert_kill_mid_commit(spark, tmp_path, monkeypatch, crash):
+    """VERDICT r6 item 2: a kill anywhere inside ivf_upsert's commit must
+    leave the index either fully PRE-upsert (crash before the pending
+    marker exists — debris is discarded) or fully POST-upsert (marker
+    present — the verified stage is rolled forward), never part-old/
+    part-new, with all scratch dirs reaped; any indexed read repairs."""
+    from marie_ai_spark.operators import similarity as S
+
+    path, batch = _ivf_fixture(spark, tmp_path, "idx")
+    gpath, gbatch = _ivf_fixture(spark, tmp_path, "golden")
+    S.ivf_upsert(gbatch, gpath)
+    golden = _ivf_state(spark, gpath)
+    pre = _ivf_state(spark, path)
+    assert pre != golden
+
+    real = S._rename_or_raise
+    calls = {"n": 0}
+
+    def boom(fs, src, dst):
+        calls["n"] += 1
+        # call 1 = the marker's tmp->final rename; later calls are the
+        # per-cell swap renames
+        if crash == "before_marker" and calls["n"] == 1:
+            raise RuntimeError("simulated kill before marker")
+        if crash == "mid_swap" and calls["n"] == 4:
+            raise RuntimeError("simulated kill mid swap")
+        real(fs, src, dst)
+
+    monkeypatch.setattr(S, "_rename_or_raise", boom)
+    if crash == "after_swaps":
+        def boom_manifest(*a, **k):
+            raise RuntimeError("simulated kill after swaps")
+        monkeypatch.setattr(S, "_rewrite_manifest", boom_manifest)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        S.ivf_upsert(batch, path)
+    monkeypatch.undo()
+
+    # the crash left scratch state behind
+    debris = [
+        p.name for p in (tmp_path / "idx").iterdir()
+        if p.name.startswith(".upsert_")
+    ]
+    assert debris, "crash simulation must leave commit debris"
+
+    # restart: the indexed-read path repairs before serving
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    S.ivf_topk_indexed(spark, path, q, k=3, nprobe=4).collect()
+    now = _ivf_state(spark, path)
+    if crash == "before_marker":
+        assert now == pre
+    else:
+        assert now == golden
+    assert not [
+        p.name for p in (tmp_path / "idx").iterdir()
+        if p.name.startswith(".upsert_")
+    ]
+
+    # re-running the identical upsert converges to the golden end state
+    S.ivf_upsert(batch, path)
+    assert _ivf_state(spark, path) == golden
+    assert not [
+        p.name for p in (tmp_path / "idx").iterdir()
+        if p.name.startswith(".upsert_")
+    ]
