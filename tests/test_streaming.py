@@ -266,12 +266,15 @@ def test_contamination_flag_agrees_with_join_form(spark):
 def test_streaming_curation_funnel_matches_batch(spark, tmp_path):
     """q_curation_pipeline's stages under streaming, in the shape a
     continuously-ingesting corpus would run them: the stateless stages
-    (stratified sample -> decontamination flag -> PII scrub) drain
-    incrementally under AvailableNow across TWO file-arrival waves into a
-    parquet sink; the corpus-level composition stage (per-source cap,
-    ordering-dependent — not expressible on an unbounded stream) then
-    runs as the periodic batch job over the ingested table. The end state
-    must equal the all-batch funnel over the full input row for row."""
+    (stratified sample -> decontamination flag -> PII scrub -> held-out
+    SPLIT assignment) drain incrementally under AvailableNow across TWO
+    file-arrival waves into a parquet sink; the corpus-level composition
+    stage (per-source cap, ordering-dependent — not expressible on an
+    unbounded stream) then runs as the periodic batch job over the
+    ingested table. The end state must equal the all-batch funnel over
+    the full input row for row — including the split column (hash_split
+    is a pure function of (key, salt), so arrival order cannot move a
+    document between splits; VERDICT r6 item 8)."""
     from marie_ai_spark.operators.curation import (
         benchmark_shingles,
         contamination_flag,
@@ -280,6 +283,7 @@ def test_streaming_curation_funnel_matches_batch(spark, tmp_path):
         scrub_pii,
         stratified_sample,
     )
+    from marie_ai_spark.operators.split import hash_split
 
     inp = str(tmp_path / "in")
     sink = str(tmp_path / "sink")
@@ -303,8 +307,12 @@ def test_streaming_curation_funnel_matches_batch(spark, tmp_path):
         clean = contamination_flag(sampled, shingles, n=5).filter(
             ~F.col("contaminated")
         ).drop("contaminated")
-        return scrub_pii(clean, id_col="doc_id").join(
+        scrubbed = scrub_pii(clean, id_col="doc_id").join(
             clean.select("doc_id", "source"), "doc_id"
+        )
+        return hash_split(
+            scrubbed, "doc_id",
+            {"train": 0.9, "val": 0.05, "test": 0.05}, salt="r7",
         )
 
     def drain():
@@ -337,6 +345,9 @@ def test_streaming_curation_funnel_matches_batch(spark, tmp_path):
     )
     want = {tuple(r) for r in capped_batch.select(*capped_stream.columns).collect()}
     assert got == want and len(got) > 20
+    # the split column survived the cap and is non-degenerate
+    si = capped_stream.columns.index("split")
+    assert {t[si] for t in got} >= {"train"} and len({t[si] for t in got}) >= 2
 
 
 def test_streaming_pretrained_classify_matches_batch(spark, tmp_path):
