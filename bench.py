@@ -130,25 +130,56 @@ def _steal_pct(a, b) -> float:
     return round(100 * d[7] / tot, 2)
 
 
+def _cal_unit(_=None) -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def _host_calibration() -> dict:
     """Fixed single-thread work unit + CPU steal over it: lets cross-round
     bench comparisons be normalized for host contention (this VM shares a
     physical box; measured steal has ranged 0.7-11% between windows, and
     identical queries have varied ~2x run-to-run on busy windows)."""
     a = cpu_snap()
-    t0 = time.perf_counter()
-    x = 0
-    for i in range(20_000_000):
-        x += i * i
-    cal = round(time.perf_counter() - t0, 3)
+    cal = _cal_unit()
     b = cpu_snap()
     return {"host_cal_sec": cal, "steal_pct": _steal_pct(a, b)}
+
+
+def _parallel_calibration(workers: int = 0) -> dict:
+    """The same fixed work unit on EVERY core at once. The round-6 record
+    showed single-thread calibration is blind to ambient multi-core
+    slowdown: the 1-thread probe matched the round-5 window while 7-12%
+    steal bursts repeatedly hit only the parallel Spark stages. A fully
+    parallel probe occupies the whole VM the way a shuffle stage does, so
+    its per-worker median vs the 1-thread time IS the contention factor
+    the queries actually ran under."""
+    import multiprocessing as mp
+
+    workers = workers or min(32, os.cpu_count() or 1)
+    a = cpu_snap()
+    t0 = time.perf_counter()
+    with mp.get_context("fork").Pool(workers) as pool:
+        worker_secs = pool.map(_cal_unit, range(workers))
+    wall = round(time.perf_counter() - t0, 3)
+    b = cpu_snap()
+    return {
+        "par_cal_workers": workers,
+        "par_cal_wall_sec": wall,
+        "par_cal_worker_median_sec": sorted(worker_secs)[len(worker_secs) // 2],
+        "par_cal_worker_max_sec": max(worker_secs),
+        "par_cal_steal_pct": _steal_pct(a, b),
+    }
 
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     cal = _host_calibration()
+    par_cal = _parallel_calibration()
 
     import __spark_entry__ as entrymod
     from marie_ai_spark.session import get_spark
@@ -188,6 +219,7 @@ def main():
         # labels) must not leak GC pressure into later queries
         spark.catalog.clearCache()
     cal_end = _host_calibration()
+    par_cal_end = _parallel_calibration()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -206,6 +238,8 @@ def main():
         **cal,
         "host_cal_end_sec": cal_end["host_cal_sec"],
         "steal_end_pct": cal_end["steal_pct"],
+        "par_cal_start": par_cal,
+        "par_cal_end": par_cal_end,
         "query_steal": query_steal,
     }
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")

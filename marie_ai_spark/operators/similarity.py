@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import cosine
+from ..session import local_df_1p
 
 
 def brute_force_topk(
@@ -299,9 +300,9 @@ def ivf_write_index(
         "cell"
     ).parquet(path)
     spark = embeddings.sparkSession
-    spark.createDataFrame(
-        [(json.dumps(centroids),)], "centroids_json string"
-    ).coalesce(1).write.mode("overwrite").parquet(path + "_quantizer")
+    local_df_1p(
+        spark, [(json.dumps(centroids),)], "centroids_json string"
+    ).write.mode("overwrite").parquet(path + "_quantizer")
     _build_manifest_rows(
         spark.read.parquet(path).select("cell", "vec_id")
     ).write.mode("overwrite").parquet(path + "_manifest")
@@ -681,7 +682,10 @@ def ivf_upsert(
     keep_old = index.filter(F.col("cell").isin(all_touched)).join(
         F.broadcast(ids), "vec_id", "left_anti"
     )
-    merged = keep_old.unionByName(batch.select(keep_old.columns))
+    # persisted: the merge is consumed three times (staged write, expect
+    # checksum, manifest rebuild) and recomputing it costs an index scan
+    # + anti-join each time
+    merged = keep_old.unionByName(batch.select(keep_old.columns)).persist()
 
     run = _uuid.uuid4().hex
     P, fs = _ivf_fs(spark, path)
@@ -696,6 +700,7 @@ def ivf_upsert(
     got = _cell_checksums(staged)
     if expect != got:
         fs.delete(P(stage), True)
+        merged.unpersist()
         raise IOError(
             f"ivf_upsert: staged image mismatch (expected {expect}, "
             f"staged {got}); live index untouched"
@@ -705,10 +710,11 @@ def ivf_upsert(
 
     marker_tmp = f"{path}/.upsert_pending_{run}.tmp"
     marker = f"{path}/.upsert_pending_{run}"
-    spark.createDataFrame(
+    local_df_1p(
+        spark,
         [(run, staged_cells, emptied)],
         "run string, cells array<int>, emptied array<int>",
-    ).coalesce(1).write.mode("overwrite").parquet(marker_tmp)
+    ).write.mode("overwrite").parquet(marker_tmp)
     _rename_or_raise(fs, P(marker_tmp), P(marker))
 
     trash = f"{path}/.upsert_trash_{run}"
@@ -724,10 +730,16 @@ def ivf_upsert(
             _rename_or_raise(fs, live, P(f"{trash}/cell={c}__emptied"))
     fs.delete(P(trash), True)
     fs.delete(P(stage), True)
-    _rewrite_manifest(spark, path, all_touched, run)
+    # the verified merge IS the committed content of the touched cells, so
+    # the manifest refresh needs no re-read of the live table
+    _rewrite_manifest(
+        spark, path, all_touched, run,
+        touched_src=merged.select("cell", "vec_id"),
+    )
     fs.delete(P(marker), True)
 
     n_batch = batch.count()
+    merged.unpersist()
     result = {
         "n_batch": n_batch,
         "cells_touched": all_touched,
@@ -741,26 +753,38 @@ def ivf_upsert(
 
 
 def _rewrite_manifest(
-    spark, path: str, touched: list[int], run: str
+    spark, path: str, touched: list[int], run: str,
+    touched_src: DataFrame | None = None,
 ) -> None:
     """Swap in fresh manifest rows for the touched cells (or rebuild the
     whole manifest when it was missing): staged to a hidden dir, old
     manifest deleted, stage renamed in. A crash between delete and
     rename just leaves the manifest absent — the hunt then falls back to
-    the full scan, so the manifest is never trusted stale."""
+    the full scan, so the manifest is never trusted stale.
+
+    `touched_src` is the verified (cell, vec_id) content of the touched
+    cells (the upsert's persisted merge) — using it skips a re-read of
+    the just-committed live table; the full rebuild (manifest missing)
+    must still read the whole index."""
     P, fs = _ivf_fs(spark, path)
     mpath = path + "_manifest"
-    live = spark.read.parquet(path).select("cell", "vec_id")
     if fs.exists(P(mpath)):
-        fresh = _build_manifest_rows(
-            live.filter(F.col("cell").isin(touched))
+        src = (
+            touched_src
+            if touched_src is not None
+            else spark.read.parquet(path)
+            .select("cell", "vec_id")
+            .filter(F.col("cell").isin(touched))
         )
+        fresh = _build_manifest_rows(src)
         keep = spark.read.parquet(mpath).filter(
             ~F.col("cell").isin(touched)
         )
         new = keep.unionByName(fresh)
     else:
-        new = _build_manifest_rows(live)
+        new = _build_manifest_rows(
+            spark.read.parquet(path).select("cell", "vec_id")
+        )
     stage = f"{path}/.upsert_manifest_stage_{run}"
     new.write.mode("overwrite").parquet(stage)
     fs.delete(P(mpath), True)

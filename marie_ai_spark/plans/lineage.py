@@ -29,6 +29,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import local_df_1p
+
 LINEAGE_SCHEMA = (
     "run_id string, partition_id int, status string, rows_in long, "
     "rows_out long, checksum string, started_at timestamp, "
@@ -79,7 +81,8 @@ def append_lineage(spark: SparkSession, path: str, rows: list[dict]) -> None:
     test."""
     if not rows:
         return
-    df = spark.createDataFrame(
+    df = local_df_1p(
+        spark,
         [
             (
                 r["run_id"],
@@ -98,7 +101,7 @@ def append_lineage(spark: SparkSession, path: str, rows: list[dict]) -> None:
     )
     tag = uuid.uuid4().hex
     stage = f"{path}__stage_{tag}"
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    df.write.mode("overwrite").parquet(stage)
     jvm = spark._jvm
     Path = jvm.org.apache.hadoop.fs.Path
     fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
