@@ -781,6 +781,20 @@ def q_split_leakage(spark, sf):
     )
 
 
+def q_kmeans(spark, sf):
+    """Distributed Lloyd's k-means (round 7): centroids trained over the
+    FULL embeddings table — not a driver sample — with fixed-point
+    re-centering (floor(x*1e6) summed exactly), then a final JVM argmin
+    assignment. The fixed-point sums make training bit-deterministic
+    across partition layouts, so the oracle unrolls the same two Lloyd
+    iterations in SQL and must land on identical clusters."""
+    emb = _t(spark, sf, "embeddings")
+    cents = similarity.train_kmeans_full(emb, n_centroids=8, iters=2)
+    return similarity.ivf_assign(
+        emb.select("vec_id", "embedding"), cents
+    ).select("vec_id", "cell")
+
+
 def q_extract_transcripts(spark, sf):
     """The real pipeline on synthetic transcripts (non-SQL-expressible:
     pandas-UDF payload parsing; correctness gate lives in tests/)."""
@@ -1157,6 +1171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_seqs": q_pack_seqs,
         "q_line_dedup": q_line_dedup,
         "q_dup_spans": q_dup_spans,
+        # --- appended in round 7 after the window was planned (next
+        # round's rotation leads with it, same protocol as the splits)
+        "q_kmeans": q_kmeans,
     }
 
 
@@ -2902,5 +2919,50 @@ def oracle_sql() -> dict[str, str]:
                      ('0x' || substr(md5('split|r6' || CAST(split_key AS VARCHAR)),
                                      1, 8))::BIGINT % 1000000 AS b
               FROM keyed)
+    """
+    # distributed Lloyd's k-means, unrolled: the engine's fixed-point
+    # re-centering (exact int sums of floor(x*1e6)) is what makes the two
+    # training iterations reproducible here — float sums would diverge by
+    # partition layout and the final assignments would hash-mismatch.
+    def _km_assign(cents: str) -> str:
+        return (
+            " SELECT e.vec_id, e.v, (SELECT i.cell FROM " + cents + " i"
+            " ORDER BY list_sum([(e.v[d]-i.c[d])*(e.v[d]-i.c[d])"
+            " for d in range(1, len(e.v)+1)]) ASC, i.cell ASC LIMIT 1)"
+            " AS cell FROM e "
+        )
+
+    def _km_recenter(assigned: str, prev: str, out: str) -> str:
+        return f"""
+        r_{out} AS (
+            SELECT cell, u.dim AS dim, sum(u.f) AS s, count(*) AS n
+            FROM {assigned}, unnest([{{'dim': d,
+                     'f': floor({assigned}.v[d]*1000000.0)::BIGINT}}
+                     for d in range(1, len({assigned}.v)+1)]) AS t(u)
+            GROUP BY cell, dim
+        ),
+        c_{out} AS (
+            SELECT cell, list((s::DOUBLE / n) / 1000000.0 ORDER BY dim) AS c
+            FROM r_{out} GROUP BY cell
+        ),
+        {out} AS (
+            SELECT i.cell, coalesce(cn.c, i.c) AS c
+            FROM {prev} i LEFT JOIN c_{out} cn USING (cell)
+        )"""
+
+    sqls["q_kmeans"] = f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        init AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+        ),
+        a0 AS ({_km_assign("init")}),
+        {_km_recenter("a0", "init", "cent1")},
+        a1 AS ({_km_assign("cent1")}),
+        {_km_recenter("a1", "cent1", "cent2")},
+        afinal AS ({_km_assign("cent2")})
+        SELECT vec_id, cell FROM afinal
     """
     return sqls

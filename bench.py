@@ -116,6 +116,7 @@ HEADLINE = [
     "q_faithfulness",
     "q_hash_split",
     "q_split_leakage",
+    "q_kmeans",
 ]
 
 

@@ -166,6 +166,79 @@ def train_ivf_centroids_local(
     return _kmeans(x, n_centroids, iters)
 
 
+def train_kmeans_full(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    quant: float = 1e6,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over the FULL corpus — the scale path
+    past the driver-sampled quantizer (train_ivf_centroids trains on a
+    bounded sample; at 100 TB the sample can misplace tail clusters).
+    Each iteration is one corpus pass: JVM argmin assignment (the same
+    expression the IVF quantizer uses — scan-local, no shuffle), then a
+    groupBy(cell) with one fixed-point SUM per dimension. Partial (map-
+    side) aggregation collapses every task to k rows of d sums before the
+    shuffle, so the exchanged data is k*d*tasks numbers regardless of
+    corpus size; driver state is k*d sums — index metadata.
+
+    Determinism (and hence oracle-checkability): float sums depend on
+    partition layout, so re-centering FLOORS each coordinate to a 1/quant
+    grid and sums int64s — exact, associative, order-independent. The
+    trained centroids are bit-identical across any repartitioning (tested)
+    and reproducible in SQL as sum(floor(x*quant))::DOUBLE / n / quant.
+    The sums ride a decimal accumulator (ANSI-safe at any row count); the
+    1e-6 coordinate quantization is far below embedding noise.
+
+    Empty cells keep their previous centroid (standard Lloyd's). Init is
+    the embeddings of the k lowest vec_ids — deterministic and cheap
+    (k rows collected). Returns the final centroids; assign with
+    ivf_assign (one more pass) for the final clustering.
+    """
+    k = n_centroids
+    init_rows = (
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    cent = [[float(x) for x in r.v] for r in init_rows]
+    k = len(cent)
+    dim = len(cent[0])
+    v = F.col("embedding").cast("array<double>")
+    qlit = F.lit(float(quant))
+    for _ in range(iters):
+        assigned = embeddings.select(
+            v.alias("v"), _nearest_centroid_col(cent).alias("cell")
+        )
+        rows = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        F.floor(F.col("v")[d] * qlit).cast("decimal(38,0)")
+                    ).alias(f"s{d}")
+                    for d in range(dim)
+                ],
+            )
+            .collect()
+        )
+        got = {r.cell: r for r in rows}
+        cent = [
+            [
+                (float(int(got[c][f"s{d}"])) / got[c].n) / quant
+                for d in range(dim)
+            ]
+            if c in got
+            else cent[c]
+            for c in range(k)
+        ]
+    return cent
+
+
 def _nearest_centroid_col(centroids: list[list[float]]):
     """argmin squared-distance over centroid literals, JVM-side: build an
     array of (dist, cell) structs and take array_min (struct ordering

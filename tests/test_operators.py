@@ -1152,3 +1152,55 @@ def test_rrf_fuse_bulk_matches_per_query_fuse(spark):
         for r in rrf_fuse([l1, s1], ["lex", "sem"], k=60, topn=3).collect():
             expect[(q, r.doc_id)] = (r.rrf, r.lex_rank, r.sem_rank)
     assert bulk == expect
+
+
+def test_train_kmeans_full_layout_invariant_and_twin(spark):
+    """Distributed Lloyd's: (a) bit-identical centroids under any
+    partition layout (the fixed-point re-centering's whole point — float
+    sums would drift with the layout); (b) equal to a pure-numpy twin of
+    the same quantized rule; (c) an emptied cell keeps its previous
+    centroid."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    x = np.round(rng.normal(size=(60, 4)), 3)
+    x[:20] += 8.0   # three well-separated blobs
+    x[20:40] -= 8.0
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def twin(k, iters, quant=1e6):
+        cent = x[:k].copy()
+        for _ in range(iters):
+            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(k):
+                m = x[a == c]
+                if len(m):
+                    s = np.floor(m * quant).astype(np.int64).sum(axis=0)
+                    cent[c] = np.array(
+                        [(float(int(si)) / len(m)) / quant for si in s]
+                    )
+        return [[float(v) for v in row] for row in cent]
+
+    got1 = similarity.train_kmeans_full(emb.repartition(1), 3, iters=2)
+    got7 = similarity.train_kmeans_full(emb.repartition(7), 3, iters=2)
+    assert got1 == got7 == twin(3, 2)
+
+    # empty-cell carryover: k=4 inits on vec_ids 0-3, which all sit in the
+    # same +8 blob; after one iteration at least one init loses every
+    # point to a closer sibling and must keep its previous centroid
+    got = similarity.train_kmeans_full(emb.repartition(5), 4, iters=3)
+    assert got == twin(4, 3)
+
+    # final assignment is the JVM argmin over the trained centroids
+    cents = got1
+    out = {
+        r.vec_id: r.cell
+        for r in similarity.ivf_assign(emb, cents).collect()
+    }
+    dists = ((x[:, None, :] - np.array(cents)[None, :, :]) ** 2).sum(axis=2)
+    expect = dists.argmin(axis=1)
+    assert out == {i: int(c) for i, c in enumerate(expect)}
