@@ -795,6 +795,30 @@ def q_kmeans(spark, sf):
     ).select("vec_id", "cell")
 
 
+def q_quantize_embed(spark, sf):
+    """Per-vector symmetric int8 quantization (round 7): the 4x
+    storage/memory cut for a persisted vector index. floor(v/scale+0.5)
+    codes — floor instead of round() so ties are engine-independent;
+    exploded to scalars for value-hashing."""
+    q = similarity.quantize_int8(_t(spark, sf, "embeddings"))
+    return q.select(
+        "vec_id", "scale", F.posexplode("qembedding").alias("dim", "qval")
+    )
+
+
+def q_hash_project(spark, sf):
+    """Feature-hash (sign-random JL) projection (round 7): 64 -> 8 dims
+    with a sign matrix derived from md5('proj|seed|i|j') — never
+    materialized as data, so the oracle reconstructs the identical
+    projection from the formula alone. Scan-local, no UDF, no shuffle."""
+    p = similarity.hash_project(
+        _t(spark, sf, "embeddings"), out_dim=8, seed=1
+    )
+    return p.select(
+        "vec_id", F.posexplode("projected").alias("j", "value")
+    )
+
+
 def q_extract_transcripts(spark, sf):
     """The real pipeline on synthetic transcripts (non-SQL-expressible:
     pandas-UDF payload parsing; correctness gate lives in tests/)."""
@@ -1172,8 +1196,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": q_line_dedup,
         "q_dup_spans": q_dup_spans,
         # --- appended in round 7 after the window was planned (next
-        # round's rotation leads with it, same protocol as the splits)
+        # round's rotation leads with them, same protocol as the splits)
         "q_kmeans": q_kmeans,
+        "q_quantize_embed": q_quantize_embed,
+        "q_hash_project": q_hash_project,
     }
 
 
@@ -2964,5 +2990,32 @@ def oracle_sql() -> dict[str, str]:
         {_km_recenter("a1", "cent1", "cent2")},
         afinal AS ({_km_assign("cent2")})
         SELECT vec_id, cell FROM afinal
+    """
+    # int8 quantization: scale from an order-insensitive max fold; codes
+    # via floor(v/scale + 0.5) so rounding ties are engine-independent
+    sqls["q_quantize_embed"] = """
+        SELECT vec_id, scale, (u.dim - 1)::INT AS dim, u.q AS qval
+        FROM (
+          SELECT vec_id, v, CASE WHEN mx = 0 THEN 1.0 ELSE mx/127.0 END AS scale
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                       list_max(list_transform(embedding::DOUBLE[],
+                                               x -> abs(x))) AS mx
+                FROM embeddings)
+        ), unnest([{'dim': i, 'q': floor(v[i]/scale + 0.5)::INT}
+                   for i in range(1, len(v)+1)]) AS t(u)
+    """
+    # feature-hash projection: the sign matrix is re-derived from
+    # md5('proj|seed|i|j') hex parity — same formula the engine bakes
+    # into its plan literals; the left-fold sum and the multiply-by-
+    # reciprocal normalizer replicate Spark's IEEE evaluation order
+    sqls["q_hash_project"] = """
+        SELECT vec_id, j::INT AS j,
+               list_sum([v[i] * (CASE WHEN ('0x' || substr(md5(
+                            'proj|1|' || (i-1)::VARCHAR || '|' || j::VARCHAR),
+                            1, 1))::INT % 2 = 0 THEN 1.0 ELSE -1.0 END)
+                         for i in range(1, len(v)+1)])
+               * (1.0/sqrt(8.0)) AS value
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js
     """
     return sqls

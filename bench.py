@@ -117,6 +117,8 @@ HEADLINE = [
     "q_hash_split",
     "q_split_leakage",
     "q_kmeans",
+    "q_quantize_embed",
+    "q_hash_project",
 ]
 
 

@@ -239,6 +239,85 @@ def train_kmeans_full(
     return cent
 
 
+def quantize_int8(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization — the standard 4x storage /
+    memory cut for a 100 TB vector index (store qembedding+scale, probe
+    coarse cells on int8, re-rank survivors on the float originals).
+
+    scale = max|v| / 127 (scale 1.0 for the all-zero vector); codes are
+    floor(v/scale + 0.5) — floor-of-shifted instead of a round() builtin
+    because floor is bit-identical across engines while round-half ties
+    differ (Spark HALF_UP vs banker's in some SQL engines), and the whole
+    point is an oracle-checkable, engine-independent codebook. Pure JVM
+    expressions (transform/aggregate), scan-local, no shuffle.
+    Max |code| is 127 by construction: |v|/(max|v|/127) <= 127 and
+    floor(127 + 0.5) = 127."""
+    v = F.col(vec_col).cast("array<double>")
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(mx == 0.0, F.lit(1.0)).otherwise(mx / F.lit(127.0))
+    return embeddings.withColumn("scale", scale).withColumn(
+        "qembedding",
+        F.transform(
+            v, lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")
+        ),
+    )
+
+
+def dequantize_int8(
+    quantized: DataFrame, out_col: str = "embedding"
+) -> DataFrame:
+    """Inverse of quantize_int8 (lossy: 1/254 of the vector's dynamic
+    range per code step). Used by re-rank stages that only persisted the
+    int8 index."""
+    return quantized.withColumn(
+        out_col,
+        F.transform(
+            F.col("qembedding"),
+            lambda q: q.cast("double") * F.col("scale"),
+        ),
+    )
+
+
+def hash_project(
+    embeddings: DataFrame,
+    out_dim: int = 8,
+    seed: int = 1,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Feature-hash (sign-random) projection — Achlioptas/JL-style
+    dimensionality reduction with a matrix that is never materialized as
+    data: sign(i, j) = parity of the first hex digit of
+    md5('proj|seed|i|j'), so any engine (and the DuckDB oracle)
+    reconstructs the exact same projection from the formula alone.
+    out[j] = sum_i v[i] * sign(i, j) / sqrt(out_dim), folded in index
+    order (deterministic IEEE sums). The signs are baked into the plan
+    as literals: scan-local narrow projection, no shuffle, no UDF —
+    the 100 TB path to cheaper ANN (project, then IVF the short
+    vectors; re-rank survivors on the originals)."""
+    import hashlib
+    import math
+
+    first = embeddings.select(vec_col).first()
+    d = len(first[0])
+    inv = 1.0 / math.sqrt(float(out_dim))
+
+    def sign(i: int, j: int) -> float:
+        h = hashlib.md5(f"proj|{seed}|{i}|{j}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+    v = F.col(vec_col).cast("array<double>")
+    outs = []
+    for j in range(out_dim):
+        signs = F.array(*[F.lit(sign(i, j)) for i in range(d)])
+        s = F.aggregate(
+            F.zip_with(v, signs, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        outs.append(s * F.lit(inv))
+    return embeddings.withColumn("projected", F.array(*outs))
+
+
 def _nearest_centroid_col(centroids: list[list[float]]):
     """argmin squared-distance over centroid literals, JVM-side: build an
     array of (dist, cell) structs and take array_min (struct ordering

@@ -1204,3 +1204,59 @@ def test_train_kmeans_full_layout_invariant_and_twin(spark):
     dists = ((x[:, None, :] - np.array(cents)[None, :, :]) ** 2).sum(axis=2)
     expect = dists.argmin(axis=1)
     assert out == {i: int(c) for i, c in enumerate(expect)}
+
+
+def test_quantize_int8_roundtrip_and_edges(spark):
+    """Codes stay in [-127, 127], the zero vector quantizes losslessly
+    with scale 1.0, and dequantization error is bounded by scale/2
+    per coordinate."""
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),        # zero vector: scale 1.0
+        (3, [127.0, -127.0, 63.5, 1.0]),  # extremes hit +/-127 exactly
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = similarity.quantize_int8(emb)
+    got = {r.vec_id: (r.scale, r.qembedding) for r in q.collect()}
+    assert got[2] == (1.0, [0, 0, 0, 0])
+    assert got[3][1] == [127, -127, 64, 1]
+    assert all(
+        abs(c) <= 127 for _s, qv in got.values() for c in qv
+    )
+    back = {
+        r.vec_id: r.embedding
+        for r in similarity.dequantize_int8(q.drop("embedding")).collect()
+    }
+    for vid, v in rows:
+        s = got[vid][0]
+        assert all(
+            abs(a - b) <= s / 2 + 1e-12 for a, b in zip(v, back[vid])
+        ), (vid, v, back[vid])
+
+
+def test_hash_project_matches_formula_twin(spark):
+    """The baked-in sign literals equal the md5-parity formula, and the
+    fold order matches a plain left-fold python twin bit-for-bit."""
+    import hashlib
+    import math
+
+    rows = [(i, [((i * 7 + d * 3) % 11) / 7.0 - 0.6 for d in range(6)])
+            for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out_dim, seed = 4, 9
+    got = {
+        r.vec_id: r.projected
+        for r in similarity.hash_project(emb, out_dim, seed).collect()
+    }
+
+    def sign(i, j):
+        h = hashlib.md5(f"proj|{seed}|{i}|{j}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+    inv = 1.0 / math.sqrt(float(out_dim))
+    for vid, v in rows:
+        for j in range(out_dim):
+            acc = 0.0
+            for i, x in enumerate(v):
+                acc = acc + x * sign(i, j)
+            assert got[vid][j] == acc * inv, (vid, j)
