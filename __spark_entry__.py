@@ -819,6 +819,21 @@ def q_hash_project(spark, sf):
     )
 
 
+def q_ann_rerank(spark, sf):
+    """Two-stage ANN serving (round 7): IVF probe of the 4 nearest
+    cells scored on the dequantized int8 copy, top-50 shortlist
+    re-ranked exactly on the float originals. The oracle re-derives
+    the whole cascade — quantizer literals from the numpy twin,
+    quantize/dequantize, both rounded rankings — in SQL."""
+    emb = _t(spark, sf, "embeddings")
+    cents = similarity.train_ivf_centroids(emb, n_centroids=8, iters=3)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.topk_int8_rerank(
+        emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding"),
+        qv, cents, k=10, nprobe=4, shortlist=50,
+    )
+
+
 def q_extract_transcripts(spark, sf):
     """The real pipeline on synthetic transcripts (non-SQL-expressible:
     pandas-UDF payload parsing; correctness gate lives in tests/)."""
@@ -1200,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans": q_kmeans,
         "q_quantize_embed": q_quantize_embed,
         "q_hash_project": q_hash_project,
+        "q_ann_rerank": q_ann_rerank,
     }
 
 
@@ -1374,6 +1390,81 @@ def _semantic_dedup_oracle_sql() -> str:
         )
         SELECT vec_id, cell FROM assigned
         WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+    """
+
+
+def _ann_rerank_sql() -> str:
+    """q_ann_rerank oracle: the full two-stage cascade in SQL — quantizer
+    centroids from the numpy twin (bit-identical to the engine's trainer),
+    IVF cell argmin + 4-cell probe, int8 quantize/dequantize (identical
+    floor(v/scale+0.5) codes), 6dp approx ranking to a 50-id shortlist,
+    exact 6dp re-rank of the shortlist on the float originals."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from marie_ai_spark.operators.similarity import train_ivf_centroids_local
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    path = f"{sf_dir}/embeddings.parquet"
+    cents = train_ivf_centroids_local(path, n_centroids=8, iters=3)
+    values = ",\n            ".join(
+        "({}, [{}]::DOUBLE[])".format(ci, ", ".join(repr(v) for v in c))
+        for ci, c in enumerate(cents)
+    )
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    df0 = tbl.to_pandas()
+    qv = [float(x) for x in df0[df0["vec_id"] == 0].iloc[0]["embedding"]]
+    qlit = "[{}]::DOUBLE[]".format(", ".join(repr(v) for v in qv))
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id <> 0
+        ),
+        cents AS (SELECT * FROM (VALUES
+            {values}
+        ) AS t(cell, c)),
+        q AS (SELECT {qlit} AS qv),
+        probe AS (
+            SELECT cell FROM cents, q
+            ORDER BY list_distance(q.qv, cents.c) ASC, cell ASC LIMIT 4
+        ),
+        cand AS (
+            SELECT vec_id, v,
+                   (SELECT cell FROM cents
+                    ORDER BY list_distance(e.v, cents.c) ASC, cell ASC
+                    LIMIT 1) AS cell
+            FROM e
+        ),
+        qz AS (
+            SELECT vec_id, v,
+                   CASE WHEN mx = 0 THEN 1.0 ELSE mx/127.0 END AS scale
+            FROM (SELECT vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) AS mx
+                  FROM cand WHERE cell IN (SELECT cell FROM probe))
+        ),
+        deq AS (
+            SELECT vec_id,
+                   [floor(v[i]/scale + 0.5)::INT * scale
+                    for i in range(1, len(v)+1)] AS d
+            FROM qz
+        ),
+        approx AS (
+            SELECT vec_id, round(list_dot_product(d, q.qv) /
+                   (sqrt(list_dot_product(d, d))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS a
+            FROM deq, q
+        ),
+        short AS (
+            SELECT vec_id FROM approx ORDER BY a DESC, vec_id ASC LIMIT 50
+        )
+        SELECT e.vec_id, round(list_dot_product(e.v, q.qv) /
+               (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+        FROM e JOIN short USING (vec_id), q
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
     """
 
 
@@ -3018,4 +3109,5 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js
     """
+    sqls["q_ann_rerank"] = _ann_rerank_sql()
     return sqls

@@ -119,6 +119,7 @@ HEADLINE = [
     "q_kmeans",
     "q_quantize_embed",
     "q_hash_project",
+    "q_ann_rerank",
 ]
 
 

@@ -318,6 +318,56 @@ def hash_project(
     return embeddings.withColumn("projected", F.array(*outs))
 
 
+def topk_int8_rerank(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Two-stage ANN serving: IVF cell probe + int8 shortlist + exact
+    re-rank — the memory-resident pattern for a 100 TB index (FAISS's
+    IVF+SQ: the int8 copy is 4x smaller, so probed cells stay in RAM;
+    only `shortlist` survivors touch the full-precision originals).
+
+    Stage 1 scores the probed cells on the DEQUANTIZED int8 copy (here
+    quantized inline from the float column; a real deployment persists
+    (cell, vec_id, qembedding, scale) at index-write time) and keeps the
+    top `shortlist` by (approx score desc, vec_id) — TakeOrdered, no full
+    sort. Stage 2 joins the shortlist ids (broadcast — bounded by
+    `shortlist`) back to the float table and re-scores exactly. Both
+    stages round to 6dp with vec_id tie-breaks, so the result is
+    deterministic and SQL-reproducible end to end."""
+    import builtins
+
+    dists = [
+        (builtins.sum((a - b) ** 2 for a, b in zip(query_vec, c)), ci)
+        for ci, c in enumerate(centroids)
+    ]
+    probe_cells = [ci for _d, ci in sorted(dists)[:nprobe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = ivf_assign(embeddings, centroids).filter(
+        F.col("cell").isin(probe_cells)
+    )
+    approx = dequantize_int8(
+        quantize_int8(cand).drop("embedding"), "deq"
+    ).select(
+        "vec_id",
+        F.round(cosine(F.col("deq"), q), 6).alias("approx_sim"),
+    )
+    ids = approx.orderBy(
+        F.desc("approx_sim"), F.asc("vec_id")
+    ).limit(shortlist).select("vec_id")
+    exact = embeddings.join(F.broadcast(ids), "vec_id").select(
+        "vec_id",
+        F.round(
+            cosine(F.col("embedding").cast("array<double>"), q), 6
+        ).alias("cos_sim"),
+    )
+    return exact.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+
+
 def _nearest_centroid_col(centroids: list[list[float]]):
     """argmin squared-distance over centroid literals, JVM-side: build an
     array of (dist, cell) structs and take array_min (struct ordering

@@ -1260,3 +1260,37 @@ def test_hash_project_matches_formula_twin(spark):
             for i, x in enumerate(v):
                 acc = acc + x * sign(i, j)
             assert got[vid][j] == acc * inv, (vid, j)
+
+
+def test_topk_int8_rerank_degrades_to_exact(spark):
+    """With a full probe and a corpus-covering shortlist the two-stage
+    int8 rerank must return exactly the brute-force float top-k (the
+    int8 stage then only ORDERS the shortlist, and the exact stage
+    re-scores everything); with a tight shortlist it returns k rows
+    ranked by exact score."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    x = np.round(rng.normal(size=(80, 8)), 3)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    qv = [float(v) for v in x[0]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cents = similarity.train_ivf_centroids(corpus, n_centroids=4, iters=2)
+
+    exact = similarity.brute_force_topk(corpus, qv, k=5).collect()
+    got = similarity.topk_int8_rerank(
+        corpus, qv, cents, k=5, nprobe=4, shortlist=1000
+    ).collect()
+    assert [(r.vec_id, r.cos_sim) for r in got] == [
+        (r.vec_id, r.cos_sim) for r in exact
+    ]
+
+    tight = similarity.topk_int8_rerank(
+        corpus, qv, cents, k=5, nprobe=2, shortlist=10
+    ).collect()
+    assert len(tight) == 5
+    sims = [r.cos_sim for r in tight]
+    assert sims == sorted(sims, reverse=True)
