@@ -112,6 +112,7 @@ HEADLINE = [
     "q_bm25_stream_scores",
     "q_ivf_upsert",
     "q_rrf",
+    "q_rrf_bulk",
     "q_mix",
     "q_faithfulness",
     "q_hash_split",
