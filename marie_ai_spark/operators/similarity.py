@@ -283,6 +283,7 @@ def hash_project(
     out_dim: int = 8,
     seed: int = 1,
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Feature-hash (sign-random) projection — Achlioptas/JL-style
     dimensionality reduction with a matrix that is never materialized as
@@ -293,12 +294,17 @@ def hash_project(
     order (deterministic IEEE sums). The signs are baked into the plan
     as literals: scan-local narrow projection, no shuffle, no UDF —
     the 100 TB path to cheaper ANN (project, then IVF the short
-    vectors; re-rank survivors on the originals)."""
+    vectors; re-rank survivors on the originals).
+
+    `dim` (the input dimensionality) is inferred with a one-row probe
+    when omitted; pass it explicitly for STREAMING inputs — a streaming
+    plan cannot run the probe, and the projection itself is a pure
+    per-row expression that applies identically on ingest (parity
+    tested in tests/test_streaming.py)."""
     import hashlib
     import math
 
-    first = embeddings.select(vec_col).first()
-    d = len(first[0])
+    d = dim if dim is not None else len(embeddings.select(vec_col).first()[0])
     inv = 1.0 / math.sqrt(float(out_dim))
 
     def sign(i: int, j: int) -> float:

@@ -521,3 +521,64 @@ def test_streaming_source_quota_admission(spark, tmp_path):
     b_orders = sorted(r.admit_order for r in got2 if r.source == "b")
     assert b_orders == [1, 2, 3, 4, 5]  # ordinal continues across batches
     assert sum(1 for r in got2 if r.source == "a") == 6  # still capped
+
+
+def test_streaming_embedding_compression_matches_batch(spark, tmp_path):
+    """quantize_int8 and hash_project are pure per-row expressions, so
+    applying them on streaming ingest (availableNow across two file
+    waves) must be BIT-EQUAL to the batch result over the union — the
+    same train-nothing/apply-on-ingest contract as the pretrained
+    classifiers. hash_project takes dim explicitly on streams (a
+    streaming plan cannot run the one-row dimensionality probe)."""
+    from marie_ai_spark.operators.similarity import (
+        hash_project,
+        quantize_int8,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    d = len(emb.first()["embedding"])
+
+    want_q = {
+        (r.vec_id, r.scale, tuple(r.qembedding))
+        for r in quantize_int8(emb).collect()
+    }
+    want_p = {
+        (r.vec_id, tuple(r.projected))
+        for r in hash_project(emb, out_dim=8, seed=1).collect()
+    }
+
+    stream_dir = str(tmp_path / "emb_stream")
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("append").parquet(
+        stream_dir
+    )
+    emb.filter(F.col("vec_id") % 2 == 1).write.mode("append").parquet(
+        stream_dir
+    )
+    src = spark.readStream.schema(emb.schema).parquet(stream_dir)
+    for name, df in (
+        ("quant_stream", quantize_int8(src)),
+        ("proj_stream", hash_project(src, out_dim=8, seed=1, dim=d)),
+    ):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got_q = {
+        (r.vec_id, r.scale, tuple(r.qembedding))
+        for r in spark.sql(
+            "select vec_id, scale, qembedding from quant_stream"
+        ).collect()
+    }
+    got_p = {
+        (r.vec_id, tuple(r.projected))
+        for r in spark.sql(
+            "select vec_id, projected from proj_stream"
+        ).collect()
+    }
+    assert got_q == want_q and got_q
+    assert got_p == want_p and got_p
