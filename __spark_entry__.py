@@ -834,6 +834,31 @@ def q_ann_rerank(spark, sf):
     )
 
 
+def q_ann_rerank_indexed(spark, sf):
+    """The q_ann_rerank cascade over a WRITTEN int8 index (round 7):
+    ivf_write_index_int8 persists (vec_id, scale, qembedding)
+    partitioned by cell — the 4x-smaller hot copy — and the probe reads
+    only the 4 nearest cells' partitions (PartitionFilters, plan-gated
+    in tests). Cell assignment happens on the float vectors at write
+    time, so the end result is identical to the inline cascade and the
+    oracle SQL is shared with q_ann_rerank."""
+    import atexit
+    import shutil
+    import tempfile
+
+    emb = _t(spark, sf, "embeddings")
+    cents = similarity.train_ivf_centroids(emb, n_centroids=8, iters=3)
+    corpus = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="ann_rerank_q_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = f"{root}/idx8"
+    similarity.ivf_write_index_int8(corpus, cents, path)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ivf_topk_int8_indexed(
+        spark, path, corpus, qv, k=10, nprobe=4, shortlist=50
+    )
+
+
 def q_extract_transcripts(spark, sf):
     """The real pipeline on synthetic transcripts (non-SQL-expressible:
     pandas-UDF payload parsing; correctness gate lives in tests/)."""
@@ -1216,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantize_embed": q_quantize_embed,
         "q_hash_project": q_hash_project,
         "q_ann_rerank": q_ann_rerank,
+        "q_ann_rerank_indexed": q_ann_rerank_indexed,
     }
 
 
@@ -3110,4 +3136,7 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js
     """
     sqls["q_ann_rerank"] = _ann_rerank_sql()
+    # the written-index variant assigns cells from the same float vectors
+    # and quantizes identically, so its end state shares the oracle
+    sqls["q_ann_rerank_indexed"] = sqls["q_ann_rerank"]
     return sqls

@@ -121,6 +121,7 @@ HEADLINE = [
     "q_quantize_embed",
     "q_hash_project",
     "q_ann_rerank",
+    "q_ann_rerank_indexed",
 ]
 
 

@@ -516,6 +516,70 @@ def ivf_write_index(
     ).write.mode("overwrite").parquet(path + "_manifest")
 
 
+def ivf_write_index_int8(
+    embeddings: DataFrame, centroids: list[list[float]], path: str
+) -> None:
+    """Materialize the QUANTIZED IVF index: (vec_id, scale, qembedding)
+    partitioned by cell — the 4x-smaller copy a 100 TB deployment keeps
+    hot while the float originals stay on cold storage for re-rank.
+    Cell assignment happens on the FLOAT vectors (same cells as the
+    float index, so probes agree); only the payload is compressed.
+    Quantizer metadata persists alongside, like ivf_write_index."""
+    import json
+
+    quantize_int8(ivf_assign(embeddings, centroids)).drop(
+        "embedding"
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    spark = embeddings.sparkSession
+    local_df_1p(
+        spark, [(json.dumps(centroids),)], "centroids_json string"
+    ).write.mode("overwrite").parquet(path + "_quantizer")
+
+
+def ivf_topk_int8_indexed(
+    spark,
+    int8_path: str,
+    float_table: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Two-stage ANN over the WRITTEN int8 index: the probe reads only
+    the nprobe nearest cells' partitions of the quantized table
+    (PartitionFilters — plan-gated), scores the dequantized codes, and
+    re-ranks the broadcast top-`shortlist` ids exactly against the
+    float table. Same ranking semantics as topk_int8_rerank (6dp
+    rounding, vec_id tie-breaks), so the two agree given the same
+    quantizer — tested."""
+    import builtins
+
+    centroids = ivf_read_quantizer(spark, int8_path)
+    dists = [
+        (builtins.sum((a - b) ** 2 for a, b in zip(query_vec, c)), ci)
+        for ci, c in enumerate(centroids)
+    ]
+    probe_cells = [ci for _d, ci in sorted(dists)[:nprobe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = spark.read.parquet(int8_path).filter(
+        F.col("cell").isin(probe_cells)
+    )
+    approx = dequantize_int8(cand, "deq").select(
+        "vec_id",
+        F.round(cosine(F.col("deq"), q), 6).alias("approx_sim"),
+    )
+    ids = approx.orderBy(
+        F.desc("approx_sim"), F.asc("vec_id")
+    ).limit(shortlist).select("vec_id")
+    exact = float_table.join(F.broadcast(ids), "vec_id").select(
+        "vec_id",
+        F.round(
+            cosine(F.col("embedding").cast("array<double>"), q), 6
+        ).alias("cos_sim"),
+    )
+    return exact.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+
+
 # ------------------------------------------------------ id manifest (bloom)
 
 _MANIFEST_SCHEMA = (

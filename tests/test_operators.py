@@ -1294,3 +1294,41 @@ def test_topk_int8_rerank_degrades_to_exact(spark):
     assert len(tight) == 5
     sims = [r.cos_sim for r in tight]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_int8_indexed_matches_inline_and_prunes(spark, tmp_path):
+    """The written int8 index must (a) return exactly the inline
+    topk_int8_rerank cascade's rows (same quantizer, same float-side
+    cell assignment, same 6dp rankings), and (b) probe with a cell
+    PARTITION filter — the scan reads only the nprobe cells' dirs."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    x = np.round(rng.normal(size=(90, 8)), 3)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    qv = [float(v) for v in x[0]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cents = similarity.train_ivf_centroids(corpus, n_centroids=4, iters=2)
+    path = str(tmp_path / "idx8")
+    similarity.ivf_write_index_int8(corpus, cents, path)
+
+    inline = similarity.topk_int8_rerank(
+        corpus, qv, cents, k=5, nprobe=2, shortlist=12
+    ).collect()
+    indexed_df = similarity.ivf_topk_int8_indexed(
+        spark, path, corpus, qv, k=5, nprobe=2, shortlist=12
+    )
+    indexed = indexed_df.collect()
+    assert [(r.vec_id, r.cos_sim) for r in indexed] == [
+        (r.vec_id, r.cos_sim) for r in inline
+    ]
+
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the persisted payload is the compressed copy only
+    cols = set(spark.read.parquet(path).columns)
+    assert "embedding" not in cols
+    assert {"vec_id", "scale", "qembedding", "cell"} <= cols
