@@ -859,6 +859,20 @@ def q_ann_rerank_indexed(spark, sf):
     )
 
 
+def q_hamming_topk(spark, sf):
+    """1-bit Hamming retrieval (round 7): sign-binarized codes (32 dims
+    per long, the 32x compression tier below int8) ranked by
+    popcount(xor). Integer-exact, so the oracle verifies through an
+    INDEPENDENT formulation — counting differing signs dimension-wise —
+    and must agree bit-for-bit."""
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.hamming_topk(
+        emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding"),
+        qv, k=10,
+    )
+
+
 def q_extract_transcripts(spark, sf):
     """The real pipeline on synthetic transcripts (non-SQL-expressible:
     pandas-UDF payload parsing; correctness gate lives in tests/)."""
@@ -1242,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_project": q_hash_project,
         "q_ann_rerank": q_ann_rerank,
         "q_ann_rerank_indexed": q_ann_rerank_indexed,
+        "q_hamming_topk": q_hamming_topk,
     }
 
 
@@ -3139,4 +3154,22 @@ def oracle_sql() -> dict[str, str]:
     # the written-index variant assigns cells from the same float vectors
     # and quantizes identically, so its end state shares the oracle
     sqls["q_ann_rerank_indexed"] = sqls["q_ann_rerank"]
+    # Hamming top-k verified through an independent formulation: the
+    # engine packs sign bits and popcounts xor; the oracle counts
+    # differing signs dimension-wise — integer-exact, must agree
+    sqls["q_hamming_topk"] = """
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id <> 0
+        ),
+        q AS (
+            SELECT (SELECT embedding::DOUBLE[] FROM embeddings
+                    WHERE vec_id = 0) AS qv
+        )
+        SELECT vec_id,
+               len([i for i in range(1, len(v)+1)
+                    if (v[i] > 0) <> (q.qv[i] > 0)])::INT AS hamming
+        FROM e, q
+        ORDER BY hamming ASC, vec_id ASC LIMIT 10
+    """
     return sqls

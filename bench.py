@@ -122,6 +122,7 @@ HEADLINE = [
     "q_hash_project",
     "q_ann_rerank",
     "q_ann_rerank_indexed",
+    "q_hamming_topk",
 ]
 
 

@@ -580,6 +580,72 @@ def ivf_topk_int8_indexed(
     return exact.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
+def binarize_embeddings(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "bits",
+    dim: int | None = None,
+) -> DataFrame:
+    """1-bit sign quantization, 32 dims packed per long — the 32x
+    compression tier below int8 (Hamming-space candidate generation for
+    cosine-ish retrieval; re-rank survivors on int8 or float). Bit j of
+    word w is `v[32w+j] > 0` (strict: zeros pack as 0 on every engine).
+    Packing words stay < 2^32, so long arithmetic never overflows and
+    the codes are integer-exact across engines. Pure JVM expressions,
+    scan-local; pass `dim` for streaming inputs (the default infers it
+    with a one-row probe)."""
+    d = dim if dim is not None else len(
+        embeddings.select(vec_col).first()[0]
+    )
+    v = F.col(vec_col).cast("array<double>")
+    words = []
+    for w in range(0, d, 32):
+        terms = [
+            F.when(v[i] > 0, F.lit(1 << (i - w)))
+            .otherwise(F.lit(0))
+            .cast("long")
+            for i in range(w, min(d, w + 32))
+        ]
+        word = terms[0]
+        for t in terms[1:]:
+            word = word + t
+        words.append(word)
+    return embeddings.withColumn(out_col, F.array(*words))
+
+
+def hamming_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    dim: int | None = None,
+) -> DataFrame:
+    """Top-k nearest by Hamming distance over the 1-bit codes: distance =
+    popcount(xor) per packed word, folded JVM-side — integer-exact, so
+    the oracle can verify through an INDEPENDENT formulation (counting
+    differing signs dimension-wise) and must agree bit-for-bit. Ties to
+    the lowest vec_id. TakeOrdered, no full sort."""
+    d = dim if dim is not None else len(query_vec)
+    qbits = []
+    for w in range(0, d, 32):
+        word = 0
+        for i in range(w, min(d, w + 32)):
+            if query_vec[i] > 0:
+                word |= 1 << (i - w)
+        qbits.append(word)
+    qlit = F.array(*[F.lit(int(x)).cast("long") for x in qbits])
+    scored = binarize_embeddings(embeddings, dim=d).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("bits"), qlit, lambda a, b: F.bit_count(a.bitwiseXOR(b))
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("hamming"),
+    )
+    return scored.orderBy(F.asc("hamming"), F.asc("vec_id")).limit(k)
+
+
 # ------------------------------------------------------ id manifest (bloom)
 
 _MANIFEST_SCHEMA = (

@@ -1332,3 +1332,36 @@ def test_ivf_int8_indexed_matches_inline_and_prunes(spark, tmp_path):
     cols = set(spark.read.parquet(path).columns)
     assert "embedding" not in cols
     assert {"vec_id", "scale", "qembedding", "cell"} <= cols
+
+
+def test_hamming_topk_matches_sign_count_twin(spark):
+    """Packed-word popcount(xor) must equal a direct differing-sign
+    count (integer-exact), including non-multiple-of-32 dims and zero
+    coordinates (zeros pack as 0 bits)."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    x = np.round(rng.normal(size=(40, 37)), 2)   # 37 dims: 2 words
+    x[x == 0.0] = 0.0                            # keep exact zeros
+    x[5, :10] = 0.0                              # a vector with zero runs
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    qv = [float(v) for v in x[0]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+
+    got = [
+        (r.vec_id, r.hamming)
+        for r in similarity.hamming_topk(corpus, qv, k=40).collect()
+    ]
+    qsign = np.array([v > 0 for v in qv])
+    want = sorted(
+        (int(((row > 0) != qsign).sum()), i)
+        for i, row in enumerate(x) if i != 0
+    )
+    assert got == [(i, h) for h, i in want]
+
+    # packing shape: ceil(37/32) = 2 words, all < 2**32
+    bits = similarity.binarize_embeddings(corpus).select("bits").first()[0]
+    assert len(bits) == 2 and all(0 <= w < 2**32 for w in bits)
