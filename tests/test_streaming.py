@@ -531,6 +531,7 @@ def test_streaming_embedding_compression_matches_batch(spark, tmp_path):
     classifiers. hash_project takes dim explicitly on streams (a
     streaming plan cannot run the one-row dimensionality probe)."""
     from marie_ai_spark.operators.similarity import (
+        binarize_embeddings,
         hash_project,
         quantize_int8,
     )
@@ -548,6 +549,10 @@ def test_streaming_embedding_compression_matches_batch(spark, tmp_path):
         (r.vec_id, tuple(r.projected))
         for r in hash_project(emb, out_dim=8, seed=1).collect()
     }
+    want_b = {
+        (r.vec_id, tuple(r.bits))
+        for r in binarize_embeddings(emb).collect()
+    }
 
     stream_dir = str(tmp_path / "emb_stream")
     emb.filter(F.col("vec_id") % 2 == 0).write.mode("append").parquet(
@@ -560,6 +565,7 @@ def test_streaming_embedding_compression_matches_batch(spark, tmp_path):
     for name, df in (
         ("quant_stream", quantize_int8(src)),
         ("proj_stream", hash_project(src, out_dim=8, seed=1, dim=d)),
+        ("bits_stream", binarize_embeddings(src, dim=d)),
     ):
         q = (
             df.writeStream.format("memory")
@@ -580,5 +586,12 @@ def test_streaming_embedding_compression_matches_batch(spark, tmp_path):
             "select vec_id, projected from proj_stream"
         ).collect()
     }
+    got_b = {
+        (r.vec_id, tuple(r.bits))
+        for r in spark.sql(
+            "select vec_id, bits from bits_stream"
+        ).collect()
+    }
     assert got_q == want_q and got_q
     assert got_p == want_p and got_p
+    assert got_b == want_b and got_b
