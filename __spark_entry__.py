@@ -873,6 +873,20 @@ def q_hamming_topk(spark, sf):
     )
 
 
+def q_ann_recall(spark, sf):
+    """Compression-tier evaluation (round 7): recall@10 of the 1-bit
+    Hamming and int8 rankings against exact float retrieval — the
+    measurement that sizes how much of the funnel the cheap tiers can
+    carry. Oracle composes the already-proven SQL formulations of all
+    three rankings."""
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ann_recall_at_k(
+        emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding"),
+        qv, k=10,
+    )
+
+
 def q_extract_transcripts(spark, sf):
     """The real pipeline on synthetic transcripts (non-SQL-expressible:
     pandas-UDF payload parsing; correctness gate lives in tests/)."""
@@ -1257,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_rerank": q_ann_rerank,
         "q_ann_rerank_indexed": q_ann_rerank_indexed,
         "q_hamming_topk": q_hamming_topk,
+        "q_ann_recall": q_ann_recall,
     }
 
 
@@ -3171,5 +3186,56 @@ def oracle_sql() -> dict[str, str]:
                     if (v[i] > 0) <> (q.qv[i] > 0)])::INT AS hamming
         FROM e, q
         ORDER BY hamming ASC, vec_id ASC LIMIT 10
+    """
+    # tier evaluation: composes the proven exact / hamming / int8
+    # rankings and intersects each with the exact top-10
+    sqls["q_ann_recall"] = """
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id <> 0
+        ),
+        q AS (
+            SELECT (SELECT embedding::DOUBLE[] FROM embeddings
+                    WHERE vec_id = 0) AS qv
+        ),
+        exact AS (
+            SELECT vec_id FROM e, q
+            ORDER BY round(list_dot_product(v, q.qv) /
+                     (sqrt(list_dot_product(v, v))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+                     vec_id ASC
+            LIMIT 10
+        ),
+        ham AS (
+            SELECT vec_id FROM e, q
+            ORDER BY len([i for i in range(1, len(v)+1)
+                          if (v[i] > 0) <> (q.qv[i] > 0)]) ASC, vec_id ASC
+            LIMIT 10
+        ),
+        deq AS (
+            SELECT vec_id,
+                   [floor(v[i]/scale + 0.5)::INT * scale
+                    for i in range(1, len(v)+1)] AS d
+            FROM (SELECT vec_id, v,
+                         CASE WHEN mx = 0 THEN 1.0 ELSE mx/127.0 END AS scale
+                  FROM (SELECT vec_id, v,
+                               list_max(list_transform(v, x -> abs(x))) AS mx
+                        FROM e))
+        ),
+        int8 AS (
+            SELECT vec_id FROM deq, q
+            ORDER BY round(list_dot_product(d, q.qv) /
+                     (sqrt(list_dot_product(d, d))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+                     vec_id ASC
+            LIMIT 10
+        )
+        SELECT 'hamming' AS tier,
+               (SELECT count(*) FROM ham JOIN exact USING (vec_id))::DOUBLE
+               / CAST(10.0 AS DOUBLE) AS recall
+        UNION ALL
+        SELECT 'int8' AS tier,
+               (SELECT count(*) FROM int8 JOIN exact USING (vec_id))::DOUBLE
+               / CAST(10.0 AS DOUBLE) AS recall
     """
     return sqls

@@ -123,6 +123,7 @@ HEADLINE = [
     "q_ann_rerank",
     "q_ann_rerank_indexed",
     "q_hamming_topk",
+    "q_ann_recall",
 ]
 
 

@@ -646,6 +646,40 @@ def hamming_topk(
     return scored.orderBy(F.asc("hamming"), F.asc("vec_id")).limit(k)
 
 
+def ann_recall_at_k(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Recall@k of each compression tier against exact float retrieval —
+    the measurement that decides how aggressively a 100 TB deployment
+    can lean on the cheap tiers: 'hamming' ranks by popcount(xor) over
+    the 1-bit codes, 'int8' by cosine over the dequantized int8 codes;
+    both are scored against the exact float top-k (6dp, vec_id ties).
+    Returns (tier, recall) rows. Every stage is TakeOrdered over k/
+    corpus-pruned candidates plus one k-row intersection join — driver
+    and shuffle costs are O(k), not corpus-sized."""
+    exact = brute_force_topk(embeddings, query_vec, k).select("vec_id")
+    ham = hamming_topk(embeddings, query_vec, k).select("vec_id")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    int8 = (
+        dequantize_int8(quantize_int8(embeddings).drop("embedding"), "deq")
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("deq"), q), 6).alias("approx_sim"),
+        )
+        .orderBy(F.desc("approx_sim"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+    spark = embeddings.sparkSession
+    parts = []
+    for tier, ids in (("hamming", ham), ("int8", int8)):
+        hits = ids.join(exact, "vec_id").count()
+        parts.append((tier, hits / float(k)))
+    return local_df_1p(spark, parts, "tier string, recall double")
+
+
 # ------------------------------------------------------ id manifest (bloom)
 
 _MANIFEST_SCHEMA = (

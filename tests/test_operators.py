@@ -1365,3 +1365,32 @@ def test_hamming_topk_matches_sign_count_twin(spark):
     # packing shape: ceil(37/32) = 2 words, all < 2**32
     bits = similarity.binarize_embeddings(corpus).select("bits").first()[0]
     assert len(bits) == 2 and all(0 <= w < 2**32 for w in bits)
+
+
+def test_ann_recall_full_k_is_one(spark):
+    """With k = |corpus| every tier's top-k IS the corpus, so recall
+    must be exactly 1.0 for both tiers; at small k the values stay in
+    [0, 1] and the output shape is one row per tier."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    x = np.round(rng.normal(size=(30, 8)), 3)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    qv = [float(v) for v in x[0]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+
+    full = {
+        r.tier: r.recall
+        for r in similarity.ann_recall_at_k(corpus, qv, k=29).collect()
+    }
+    assert full == {"hamming": 1.0, "int8": 1.0}
+
+    small = {
+        r.tier: r.recall
+        for r in similarity.ann_recall_at_k(corpus, qv, k=5).collect()
+    }
+    assert set(small) == {"hamming", "int8"}
+    assert all(0.0 <= v <= 1.0 for v in small.values())
