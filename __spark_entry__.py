@@ -493,21 +493,31 @@ def q_lang_id(spark, sf):
 
 def q_lang_id_pretrained(spark, sf):
     """The 100-TB shape of language ID: train-once profile (model state)
-    + classify-only apply — the classify plan performs ZERO profile
-    aggregation (plan-gated). Output identical to q_lang_id, so it shares
-    that oracle."""
+    + classify-only apply. The apply is the dictionary-pattern stateless
+    UDF (lang_id_classify_stream) — the same code path that serves an
+    unbounded stream, row-equal to the relational plan-gated
+    lang_id_classify by test. Output identical to q_lang_id, so it
+    shares that oracle."""
     docs = _t(spark, sf, "documents")
-    profile = textstats.lang_profile_table(docs, top_k=50)
-    return textstats.lang_id_classify(docs, profile, top_k=50)
+    rows = [
+        r.asDict()
+        for r in textstats.lang_profile_table(docs, top_k=50).collect()
+    ]
+    return textstats.lang_id_classify_stream(docs, rows, top_k=50)
 
 
 def q_fluency_pretrained(spark, sf):
     """Train/apply split of the CCNet-style fluency proxy: pretrained
-    (lang, trigram) profile + aggregation-free classify. Output identical
-    to q_fluency, so it shares that oracle."""
+    (lang, trigram) profile + the stateless dictionary apply
+    (fluency_classify_stream), bit-equal to the relational plan-gated
+    fluency_classify by test. Output identical to q_fluency, so it
+    shares that oracle."""
     docs = _t(spark, sf, "documents")
-    profile = textstats.fluency_profile_table(docs, top_k=200)
-    return textstats.fluency_classify(docs, profile)
+    rows = [
+        r.asDict()
+        for r in textstats.fluency_profile_table(docs, top_k=200).collect()
+    ]
+    return textstats.fluency_classify_stream(docs, rows)
 
 
 def q_training_pipeline(spark, sf):
@@ -619,8 +629,11 @@ def q_classify_vote_diff(spark, sf):
 
 def q_embed_neardup(spark, sf):
     """Near-dup pairs blocked on the label column (the equality blocking
-    key standing in for an LSH bucket at this data shape)."""
-    return similarity.cosine_neardup_pairs(
+    key standing in for an LSH bucket at this data shape). Scored by the
+    Arrow block scorer — row-identical to the relational
+    cosine_neardup_pairs fold (test-asserted; the raw cosine arithmetic
+    is bit-equal and rounding/threshold stay JVM-side)."""
+    return similarity.cosine_neardup_pairs_arrow(
         _t(spark, sf, "embeddings"), threshold=0.45, block_col="label"
     )
 

@@ -302,12 +302,24 @@ def hybrid_annotate(
     decisions = decision_plan(normed, label_rows, label_df)
     # Bounded eager gate (ADVICE r4): decisions scale with the matched
     # VOCABULARY, which is tiny in every realistic corpus — but "always
-    # tiny" is not a safety argument at 100 TB, so collect at most
-    # max_broadcast_decisions + 1 rows. Under the bound the collected rows
-    # become a local DataFrame (no recompute, broadcast join-back — the
-    # fan-out never shuffles); over it, fall back to a shuffle join.
-    head = decisions.limit(max_broadcast_decisions + 1).collect()
-    if len(head) <= max_broadcast_decisions:
+    # tiny" is not a safety argument at 100 TB, so the gate counts before
+    # collecting. The count runs over an eager localCheckpoint of the
+    # decision table rather than a limit(N+1).collect(): executeTake's
+    # incremental partition ramp-up (1, 4, 16, ... of
+    # spark.sql.limit.scaleUpFactor) re-runs the post-shuffle stage —
+    # including the Arrow embedding scorer — several times over when the
+    # decisions never reach the bound, which is the common case. The
+    # checkpoint materializes the decisions exactly once as local RDD
+    # blocks (a persist-based gate measured slower: the InMemoryRelation
+    # columnar round-trip costs more than it saves); count and collect
+    # then read the blocks for free, and the over-bound fallback joins
+    # against the same materialization instead of recomputing the
+    # decision pass (bounded by the matched vocabulary; a 100 TB
+    # deployment stages this table to storage).
+    dec_c = decisions.localCheckpoint()
+    n_dec = dec_c.count()
+    if n_dec <= max_broadcast_decisions:
+        head = dec_c.collect()
         dec_local = spark.createDataFrame(
             head, "norm string, label string, strategy string, score double"
         )
@@ -315,9 +327,9 @@ def hybrid_annotate(
         LAST_CALL_INFO["join"] = "broadcast-local"
         LAST_CALL_INFO["n_decisions"] = len(head)
     else:
-        out = normed.join(decisions, "norm")
+        out = normed.join(dec_c, "norm")
         LAST_CALL_INFO["join"] = "shuffle"
-        LAST_CALL_INFO["n_decisions"] = None  # over the bound, not counted
+        LAST_CALL_INFO["n_decisions"] = n_dec
     out = out.select(*_CAND_KEY, "value", "label", "strategy", "score")
     if not dedup:
         return out.select(*_OUT_COLS)

@@ -153,22 +153,37 @@ def _norm_docs(documents: DataFrame) -> DataFrame:
     )
 
 
-def _lang_profile(grams: DataFrame, top_k: int) -> DataFrame:
-    """(p_lang, g, rank): the top_k trigrams per language — the TRAINED
-    MODEL STATE. At 100 TB this is computed once and persisted; classify
-    jobs consume the stored table (see lang_profile_table)."""
-    return (
-        grams.select("lang", F.explode("tri").alias("g"))
-        .groupBy("lang", "g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("g"))
-            ),
-        )
-        .filter(F.col("rank") <= top_k)
-        .select(F.col("lang").alias("p_lang"), "g", "rank")
+def _tri_counts(norm: DataFrame) -> DataFrame:
+    """Partially-aggregated per-(lang, trigram) occurrence counts as ONE
+    Arrow stage: each batch emits its local Counter as (lang, g, c) rows.
+    Replaces the _with_tri array + JVM explode on the PROFILE side of the
+    lang-ID / fluency trainers — shipping every trigram occurrence back
+    through Arrow (~300 strings per document) cost more than the whole
+    downstream aggregation; the per-batch Counter ships only the batch's
+    distinct (lang, trigram) vocabulary, which the JVM then sums. Counts
+    are exact integers, so the summed profile is identical to the
+    explode+count form regardless of batch boundaries."""
+    def fn(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            acc: dict = {}
+            for lang, t in zip(pdf["lang"], pdf["t"]):
+                c = acc.get(lang)
+                if c is None:
+                    c = acc[lang] = Counter()
+                c.update(t[i: i + 3] for i in range(len(t) - 2))
+            if acc:
+                langs, gs, cs = [], [], []
+                for lang, c in acc.items():
+                    for g, n in c.items():
+                        langs.append(lang)
+                        gs.append(g)
+                        cs.append(n)
+                yield pd.DataFrame({"lang": langs, "g": gs, "c": cs})
+
+    return norm.select("lang", "t").mapInPandas(
+        fn, "lang string, g string, c long"
     )
 
 
@@ -203,8 +218,25 @@ def _lang_classify(grams: DataFrame, profile: DataFrame, top_k: int) -> DataFram
 def lang_profile_table(documents: DataFrame, top_k: int = 50) -> DataFrame:
     """TRAIN once: the persistable language-trigram profile (p_lang, g,
     rank). The 100-TB shape is write-this-table-then-classify; the fused
-    lang_id_ngram exists for oracle parity and small corpora."""
-    return _lang_profile(_with_tri(_norm_docs(documents)), top_k)
+    lang_id_ngram exists for oracle parity and small corpora. Counting
+    runs through the partially-aggregated Arrow stage (_tri_counts) —
+    same exact-integer counts as the explode form, a fraction of the
+    Arrow transfer."""
+    counts = (
+        _tri_counts(_norm_docs(documents))
+        .groupBy("lang", "g")
+        .agg(F.sum("c").alias("cnt"))
+    )
+    return (
+        counts.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("g"))
+            ),
+        )
+        .filter(F.col("rank") <= top_k)
+        .select(F.col("lang").alias("p_lang"), "g", "rank")
+    )
 
 
 def lang_id_classify(
@@ -228,17 +260,23 @@ def lang_id_ngram(documents: DataFrame, top_k: int = 50) -> DataFrame:
     the synthetic corpus (shared vocabulary across langs) it demonstrates
     the mechanics and scores near chance by construction.
 
-    No session-lifetime cache: with the vectorized trigram stage the
-    normalize+trigram recompute per consumer is cheaper than the old
-    cache's memory (and its leak) — fused measured equal to the split
-    form at sf0.1 (~3.5s, down from 7.5s cached-HOF). NOTE (round 2):
-    deriving both sides from a per-(doc, trigram) count relation was
-    tried and REVERTED — measured 3x slower at sf0.1 (the shared shuffle
-    compresses worse than the narrow array_distinct).
+    Execution (round 8): the trained profile is collected — top_k rows per
+    language, the same bounded model-state collect the BM25/IVF trainers
+    make — and the apply side runs the dictionary-pattern stateless UDF
+    (lang_id_classify_stream), which is row-equal to the relational
+    lang_id_classify by test (integer scores, identical tie-breaks,
+    identical no-hit exclusion). That removes the classify side's second
+    trigram pass + explode + profile join + score aggregation + argmax
+    window from the plan; the relational classify remains the tested
+    reference (test_split_forms_equal_fused compares the two end to end).
+
+    No session-lifetime cache: the profile pass runs once (its rows are
+    the model state); NOTE (round 2): deriving both sides from a shared
+    per-(doc, trigram) count relation was tried and REVERTED — measured
+    3x slower at sf0.1 (the shared shuffle compresses worse).
     """
-    return lang_id_classify(
-        documents, lang_profile_table(documents, top_k), top_k
-    )
+    rows = [r.asDict() for r in lang_profile_table(documents, top_k).collect()]
+    return lang_id_classify_stream(documents, rows, top_k)
 
 
 def fluency_scores(documents: DataFrame, top_k: int = 200) -> DataFrame:
@@ -250,32 +288,35 @@ def fluency_scores(documents: DataFrame, top_k: int = 200) -> DataFrame:
     so round(.,6) hashes identically on every engine (no float-sum order
     sensitivity; same discipline as repetition_stats).
 
-    Plan shape mirrors lang_id_ngram (the accepted-cost pattern): the
-    profile explode compresses map-side to ~|langs x vocab|; the doc side
-    counts per (doc, trigram) once and joins the broadcast profile.
+    Execution mirrors lang_id_ngram (round 8): the trained profile —
+    top_k trigrams per language, bounded model state — is collected and
+    the apply side runs the stateless dictionary UDF
+    (fluency_classify_stream), bit-equal to the relational
+    fluency_classify by test (exact integer numerators/denominators
+    computed in Python, the fraction + HALF_UP rounding stay JVM-side).
+    The relational classify remains the tested reference
+    (test_split_forms_equal_fused).
 
     Output: (doc_id, lang, n_trigrams bigint, in_profile_frac).
     """
-    # no cache: see lang_id_ngram's note (recompute is cheaper than the
-    # cache's memory + leak since the trigram stage went vectorized)
-    return fluency_classify(documents, fluency_profile_table(documents, top_k))
+    rows = [
+        r.asDict() for r in fluency_profile_table(documents, top_k).collect()
+    ]
+    return fluency_classify_stream(documents, rows)
 
 
 def fluency_profile_table(documents: DataFrame, top_k: int = 200) -> DataFrame:
     """TRAIN once: the persistable (lang, pg) fluency profile — the top_k
-    char trigrams per language. The 100-TB shape is write-this-table-then-
-    classify; fluency_scores keeps the fused form for oracle parity."""
-    return fluency_profile_from(
-        _with_tri(_norm_docs(documents)), top_k
-    )
-
-
-def fluency_profile_from(grams: DataFrame, top_k: int) -> DataFrame:
-    return (
-        grams.select("lang", F.explode("tri").alias("g"))
+    char trigrams per language (count desc, trigram asc). Counting runs
+    through the partially-aggregated Arrow stage (_tri_counts); identical
+    exact-integer counts, a fraction of the Arrow transfer."""
+    counts = (
+        _tri_counts(_norm_docs(documents))
         .groupBy("lang", "g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
+        .agg(F.sum("c").alias("cnt"))
+    )
+    return (
+        counts.withColumn(
             "rank",
             F.row_number().over(
                 Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("g"))
@@ -434,9 +475,11 @@ def fluency_classify_stream(
         "doc_id",
         "lang",
         F.col("d.n").alias("n_trigrams"),
-        F.coalesce(
-            F.round(F.col("d.cov") / F.col("d.n"), 6), F.lit(0.0)
-        ).alias("in_profile_frac"),
+        # ANSI-safe zero-trigram guard: 0/0 must yield the batch path's
+        # 0.0 (left-join coalesce), not a DIVIDE_BY_ZERO error
+        F.when(
+            F.col("d.n") > 0, F.round(F.col("d.cov") / F.col("d.n"), 6)
+        ).otherwise(F.lit(0.0)).alias("in_profile_frac"),
     )
 
 

@@ -231,6 +231,27 @@ def test_cosine_neardup_pairs(spark):
     assert (1, 2) in pairs and len(pairs) == 1
 
 
+def test_cosine_neardup_pairs_arrow_matches_relational(spark):
+    """The Arrow block scorer must emit EXACTLY the relational blocked
+    self-join's pairs — same (vec_a, vec_b) set AND bit-identical rounded
+    cos_sim (the raw cosine arithmetic is fold-identical, the rounding
+    and threshold filter run through the same JVM expressions), on real
+    embeddings over the label blocks the headline query uses."""
+    from marie_ai_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = {(r.vec_a, r.vec_b): r.cos_sim
+            for r in cosine_neardup_pairs(
+                emb, threshold=0.3, block_col="label").collect()}
+    got = {(r.vec_a, r.vec_b): r.cos_sim
+           for r in cosine_neardup_pairs_arrow(
+               emb, threshold=0.3, block_col="label").collect()}
+    assert got == want and got
+
+
 def test_markdown_kv_pairs_jvm_side(spark):
     from marie_ai_spark.operators.regions import markdown_kv_pairs
 

@@ -607,12 +607,15 @@ def test_hybrid_staging_materialize_identical(spark, corpus_sdf, tmp_path):
 
 
 def test_hybrid_fallback_plan_is_lazy_shuffle_join(spark, corpus_sdf):
-    """Round 6: pin the PHYSICAL shape of the two gate outcomes. Under
-    the bound the decisions are an eagerly-collected local DataFrame
-    broadcast back (no Python stage left in the returned plan — scoring
-    already happened); over the bound the returned plan must keep the
-    LAZY decision subplan (its Arrow embedding stage is in the plan) and
-    join it by shuffle, never collect it."""
+    """Pin the PHYSICAL shape of the two gate outcomes. Under the bound
+    the decisions are an eagerly-collected local DataFrame broadcast
+    back (no Python stage left in the returned plan — scoring already
+    happened); over the bound (round 8 shape) the decisions are NEVER
+    collected to the driver: the gate's eager localCheckpoint already
+    materialized them as executor-local blocks, so the returned plan
+    joins that checkpointed scan (ExistingRDD — no re-run of the Arrow
+    scoring stage, no broadcast of the decision side) and the count gate
+    still reports the decision volume."""
     from marie_ai_spark.operators import hybrid
     from marie_ai_spark.operators.hybrid import hybrid_annotate
 
@@ -625,5 +628,9 @@ def test_hybrid_fallback_plan_is_lazy_shuffle_join(spark, corpus_sdf):
     slow = hybrid_annotate(corpus_sdf, max_broadcast_decisions=0)
     slow_plan = slow._jdf.queryExecution().executedPlan().toString()
     assert hybrid.LAST_CALL_INFO["join"] == "shuffle"
-    assert "ArrowEvalPython" in slow_plan  # decision scoring stays lazy
+    assert hybrid.LAST_CALL_INFO["n_decisions"] > 0
+    # decisions come from the checkpointed materialization, not a re-run
+    # of the scoring subplan and not a driver-collected broadcast
+    assert "ExistingRDD" in slow_plan
+    assert "ArrowEvalPython" not in slow_plan
     assert slow.count() > 0
