@@ -44,8 +44,22 @@ from marie_ai_spark.operators.rollup import conversation_stats
 from marie_ai_spark.sources.transcripts import gen_spark
 
 
+# schema memo for _t: spark.read.parquet infers the schema from the file
+# footer on EVERY call (~80ms of driver file-listing + footer I/O per
+# read, measured); the schema of a given table file never changes within
+# a process, so infer once and pass it explicitly afterwards. This caches
+# plan METADATA only — every query still scans the parquet data itself.
+_T_SCHEMAS: dict[tuple[str, str], object] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (sf_dir, name)
+    schema = _T_SCHEMAS.get(key)
+    if schema is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _T_SCHEMAS[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _sf_scale(sf_dir: str) -> float:

