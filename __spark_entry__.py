@@ -332,7 +332,8 @@ def q_line_dedup(spark, sf):
     separator runs, BEGIN/END BOILERPLATE banners in this corpus) are
     dropped from every turn. Oracle: pure SQL re-derivation over the
     checked-in fixture parquet (tier 2)."""
-    tr = gen_spark(spark, _n_convs(sf), seed=42)
+    # the line fan-out feeds both the frequency count and the join-back
+    tr = gen_spark(spark, _n_convs(sf), seed=42).localCheckpoint()
     return dedup.line_dedup(tr, min_convs=5)
 
 
@@ -1014,7 +1015,10 @@ def q_faithfulness(spark, sf):
     extraction fixture."""
     from marie_ai_spark.operators.evaluate import faithfulness_scores
 
-    tr = gen_spark(spark, _n_convs(sf), seed=42)
+    # tr feeds both the source side and the extraction side of the join;
+    # one materialization of the synthesized corpus replaces two
+    # generator runs
+    tr = gen_spark(spark, _n_convs(sf), seed=42).localCheckpoint()
     return faithfulness_scores(tr, extract_transcripts(tr))
 
 
@@ -1046,7 +1050,11 @@ def q_extract_continuation(spark, sf):
     from marie_ai_spark.operators.continuation import extract_with_continuation
 
     n_convs = _n_convs(sf)
-    tr = gen_spark(spark, n_convs, seed=42)
+    # the stateful plan consumes the transcripts TWICE (event summary +
+    # stateful extraction); materialize the synthesized corpus once — a
+    # real deployment's input is a parquet table whose re-scan is cheap,
+    # but the generator is a Python stage
+    tr = gen_spark(spark, n_convs, seed=42).localCheckpoint()
     return ordered_extracted(extract_with_continuation(tr)).select(
         "conv_id", "turn_idx", "doc_kind", "clean_text", "n_lines"
     )

@@ -81,7 +81,18 @@ def ordered_extracted(extracted: DataFrame) -> DataFrame:
 
     Uses a range partitioning so the sort is cluster-wide mergeable: each
     output partition holds a contiguous key range, sorted within.
-    """
-    return extracted.repartitionByRange(
+
+    The input is materialized once (eager localCheckpoint) before the
+    range exchange: RangePartitioning derives its boundaries from a
+    SEPARATE sampling job over the child, so an un-materialized
+    extraction subtree — a pandas-UDF stage — would execute end to end
+    TWICE, once for the sample and once for the real pass (guide §3.3:
+    truncate expensive plans before operators that re-run them;
+    measured q_extract_continuation 3.4s -> 2.1s at sf0.1). At scale
+    this is the standard stage-then-sort layout: the extraction output
+    lands in executor-local storage exactly once and both the sampler
+    and the exchange read those blocks."""
+    ext = extracted.localCheckpoint()
+    return ext.repartitionByRange(
         F.col("conv_id"), F.col("turn_idx")
     ).sortWithinPartitions("conv_id", "turn_idx")

@@ -231,6 +231,80 @@ def test_cosine_neardup_pairs(spark):
     assert (1, 2) in pairs and len(pairs) == 1
 
 
+def test_ivf_assign_arrow_matches_literal(spark):
+    """The Arrow-batched nearest-centroid scorer must assign every vector
+    to EXACTLY the cell the k*d-literal JVM argmin picks (bit-equal
+    distance folds + first-minimum tie-break), on real embeddings at
+    k values on both sides of the auto cutover."""
+    from marie_ai_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    for k in (4, 8):
+        cents = train_ivf_centroids(emb, n_centroids=k, iters=2)
+        lit = {r.vec_id: r.cell
+               for r in ivf_assign(emb, cents, method="literal").collect()}
+        arr = {r.vec_id: r.cell
+               for r in ivf_assign(emb, cents, method="arrow").collect()}
+        assert arr == lit and len(arr) == emb.count()
+
+
+def test_ivf_assign_arrow_large_k_bounded_plan(spark):
+    """VERDICT r7 item 2 probe: at k=1024 (k*d = 65k — a Catalyst-stalling
+    literal tree) the auto path takes the Arrow scorer, the plan stays
+    literal-free, and assignment completes."""
+    import hashlib
+
+    from marie_ai_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    d = len(emb.first()["embedding"])
+    cents = [
+        [
+            (int(hashlib.md5(f"c|{c}|{i}".encode()).hexdigest()[:4], 16)
+             / 65535.0 - 0.5)
+            for i in range(d)
+        ]
+        for c in range(1024)
+    ]
+    assigned = ivf_assign(emb, cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and len(plan) < 200_000
+    cells = [r.cell for r in assigned.select("cell").collect()]
+    assert cells and all(0 <= c < 1024 for c in cells)
+
+
+def test_hash_project_arrow_matches_literal(spark):
+    """The Arrow sign-matrix projection (auto-chosen above
+    HASH_PROJECT_MAX_LITERALS) must be BIT-EQUAL to the literal plan:
+    same md5 parity signs, same index-order fold."""
+    import math
+
+    from marie_ai_spark.operators.similarity import (
+        _hash_project_arrow,
+        hash_project,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    d = len(emb.first()["embedding"])
+    out_dim = 8
+    lit = {r.vec_id: list(r.projected)
+           for r in hash_project(emb, out_dim=out_dim, seed=1).collect()}
+    arr = {r.vec_id: list(r.projected)
+           for r in _hash_project_arrow(
+               emb, out_dim, 1, "embedding", d,
+               1.0 / math.sqrt(float(out_dim))).collect()}
+    assert arr == lit and arr  # exact float equality, element-wise
+
+
 def test_cosine_neardup_pairs_arrow_matches_relational(spark):
     """The Arrow block scorer must emit EXACTLY the relational blocked
     self-join's pairs — same (vec_a, vec_b) set AND bit-identical rounded
