@@ -1189,77 +1189,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver query registry. ORDER IS DELIBERATE: the driver's correctness
     gate checks the FIRST 50 entries in dict order (confirmed rounds 2-6),
     so the window rotates each round to keep every query's driver-green
-    evidence at most one round old. Round-7 head (50), per VERDICT r6
-    item 1: q_hash_split / q_split_leakage FIRST (the only two entries
+    evidence at most one round old. Round-8 head (50), per VERDICT r7
+    item 1: the 7 round-7 ANN/compression queries FIRST (the only entries
     that have never had a driver CORRECTNESS row — they were appended
-    after the round-6 window was fixed), then the 35 entries whose last
-    driver check was round 5, then the new round-7 operator (bulk RRF)
-    and every query touching round-7-changed code (ivf_upsert crash-safe
-    commit + id-manifest hunt, leakage-split broadcast gate, rrf module,
-    the reshaped q_dedup_exact echo, curation funnel split stage).
-    Tail (51+): entries checked green at the driver in round 6
-    (CORRECTNESS_r06.json); all of them also remain oracle-checked locally
-    by tests/test_oracle_parity and tools/oracle_check.py every round."""
+    after the round-7 window was fixed), then the 38 entries whose last
+    driver check was round 6, then five round-7-green queries whose code
+    paths changed in this optimization round (Arrow blocked-cosine
+    scorer, stream-apply classify, upsert job fold). Tail (51+): entries
+    checked green at the driver in round 7 (CORRECTNESS_r07.json); all
+    of them also remain oracle-checked locally by
+    tests/test_oracle_parity and tools/oracle_check.py every round."""
     return {
-        # --- never driver-checked (added after the round-6 window froze)
-        "q_hash_split": q_hash_split,
-        "q_split_leakage": q_split_leakage,
-        # --- last driver-green in round 5: re-certify this round
-        "q_cut_dup_spans": q_cut_dup_spans,
-        "q_semantic_dedup": q_semantic_dedup,
-        "q_returnflag_vote": q_returnflag_vote,
-        "q_classify_vote": q_classify_vote,
-        "q_annotate_regex": q_annotate_regex,
-        "q_fuzzy_match": q_fuzzy_match,
-        "q_rollup": q_rollup,
-        "q_percentiles": q_percentiles,
-        "q_quality_score": q_quality_score,
-        "q_fingerprint": q_fingerprint,
-        "q_token_count": q_token_count,
-        "q_lang_profile": q_lang_profile,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q03_top_revenue_orders": q03_top_revenue_orders,
-        "q05_region_revenue": q05_region_revenue,
-        "q_top3_orders_per_customer": q_top3_orders_per_customer,
-        "q_order_priority_count": q_order_priority_count,
-        "q_semi_join": q_semi_join,
-        "q_running_revenue": q_running_revenue,
-        "q_monthly_volume": q_monthly_volume,
-        "q_cheapest_supplier": q_cheapest_supplier,
-        "q_sql_nation_revenue": q_sql_nation_revenue,
-        "q_value_range_join": q_value_range_join,
-        "q_fluency_buckets": q_fluency_buckets,
-        "q_media_decode": q_media_decode,
-        "q_media_frames": q_media_frames,
-        "q_decontaminate": q_decontaminate,
-        "q_scrub_pii": q_scrub_pii,
-        "q_stratified_sample": q_stratified_sample,
-        "q_source_cap": q_source_cap,
-        "q_lang_id_pretrained": q_lang_id_pretrained,
-        "q_fluency_pretrained": q_fluency_pretrained,
-        "q_faithfulness": q_faithfulness,
-        "q_vote_fallback": q_vote_fallback,
-        "q_event_pivot": q_event_pivot,
-        # --- new in round 7
-        "q_rrf_bulk": q_rrf_bulk,
-        # --- code changed in round 7 (similarity.py crash-safe upsert +
-        # manifest-pruned hunt + bulk RRF, q_dedup_exact echo offset,
-        # curation funnel held-out split stage)
-        "q_ivf_upsert": q_ivf_upsert,
-        "q_rrf": q_rrf,
-        "q_embed_ivf_topk": q_embed_ivf_topk,
-        "q_dedup_exact": q_dedup_exact,
-        "q_curation_pipeline": q_curation_pipeline,
-        "q_embed_topk": q_embed_topk,
-        "q_embed_neardup": q_embed_neardup,
-        # --- fill to 50 (driver-green in round 6)
-        "q_mix": q_mix,
-        "q_bm25_stream_scores": q_bm25_stream_scores,
-        "q_contamination_flag": q_contamination_flag,
-        "q_token_budget_sample": q_token_budget_sample,
-        "q_anti_join": q_anti_join,
-        # ---------------- position 51+: driver-green in round 6
-        # (every entry below has a green row in CORRECTNESS_r06.json)
+        # --- never driver-checked (added after the round-7 window froze)
+        "q_kmeans": q_kmeans,
+        "q_quantize_embed": q_quantize_embed,
+        "q_hash_project": q_hash_project,
+        "q_ann_rerank": q_ann_rerank,
+        "q_ann_rerank_indexed": q_ann_rerank_indexed,
+        "q_hamming_topk": q_hamming_topk,
+        "q_ann_recall": q_ann_recall,
+        # --- last driver-green in round 6: re-certify this round
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
@@ -1298,15 +1247,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_seqs": q_pack_seqs,
         "q_line_dedup": q_line_dedup,
         "q_dup_spans": q_dup_spans,
-        # --- appended in round 7 after the window was planned (next
-        # round's rotation leads with them, same protocol as the splits)
-        "q_kmeans": q_kmeans,
-        "q_quantize_embed": q_quantize_embed,
-        "q_hash_project": q_hash_project,
-        "q_ann_rerank": q_ann_rerank,
-        "q_ann_rerank_indexed": q_ann_rerank_indexed,
-        "q_hamming_topk": q_hamming_topk,
-        "q_ann_recall": q_ann_recall,
+        # --- fill to 50: round-7-green queries whose code paths changed
+        # in this optimization round (Arrow pair scorer, stream-apply
+        # classify, ivf_upsert job fold) — re-certify freshest
+        "q_embed_neardup": q_embed_neardup,
+        "q_lang_id_pretrained": q_lang_id_pretrained,
+        "q_fluency_pretrained": q_fluency_pretrained,
+        "q_fluency_buckets": q_fluency_buckets,
+        "q_ivf_upsert": q_ivf_upsert,
+        # ---------------- position 51+: driver-green in round 7
+        # (every entry below has a green row in CORRECTNESS_r07.json)
+        "q_hash_split": q_hash_split,
+        "q_split_leakage": q_split_leakage,
+        "q_cut_dup_spans": q_cut_dup_spans,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_returnflag_vote": q_returnflag_vote,
+        "q_classify_vote": q_classify_vote,
+        "q_annotate_regex": q_annotate_regex,
+        "q_fuzzy_match": q_fuzzy_match,
+        "q_rollup": q_rollup,
+        "q_percentiles": q_percentiles,
+        "q_quality_score": q_quality_score,
+        "q_fingerprint": q_fingerprint,
+        "q_token_count": q_token_count,
+        "q_lang_profile": q_lang_profile,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_top_revenue_orders": q03_top_revenue_orders,
+        "q05_region_revenue": q05_region_revenue,
+        "q_top3_orders_per_customer": q_top3_orders_per_customer,
+        "q_order_priority_count": q_order_priority_count,
+        "q_semi_join": q_semi_join,
+        "q_running_revenue": q_running_revenue,
+        "q_monthly_volume": q_monthly_volume,
+        "q_cheapest_supplier": q_cheapest_supplier,
+        "q_sql_nation_revenue": q_sql_nation_revenue,
+        "q_value_range_join": q_value_range_join,
+        "q_media_decode": q_media_decode,
+        "q_media_frames": q_media_frames,
+        "q_decontaminate": q_decontaminate,
+        "q_scrub_pii": q_scrub_pii,
+        "q_stratified_sample": q_stratified_sample,
+        "q_source_cap": q_source_cap,
+        "q_faithfulness": q_faithfulness,
+        "q_vote_fallback": q_vote_fallback,
+        "q_event_pivot": q_event_pivot,
+        "q_rrf_bulk": q_rrf_bulk,
+        "q_rrf": q_rrf,
+        "q_embed_ivf_topk": q_embed_ivf_topk,
+        "q_dedup_exact": q_dedup_exact,
+        "q_curation_pipeline": q_curation_pipeline,
+        "q_embed_topk": q_embed_topk,
+        "q_mix": q_mix,
+        "q_bm25_stream_scores": q_bm25_stream_scores,
+        "q_contamination_flag": q_contamination_flag,
+        "q_token_budget_sample": q_token_budget_sample,
+        "q_anti_join": q_anti_join,
     }
 
 
