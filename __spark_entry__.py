@@ -1114,8 +1114,11 @@ def q_section_tables(spark, sf):
     )
 
     n_docs = 800 if _sf_scale(sf) >= 0.1 else 200
+    # section_tables scans its input THREE times (sections, extents,
+    # table rows); materialize the synthesized corpus once
+    docs = gen_section_docs_spark(spark, n_docs, seed=42).localCheckpoint()
     return section_tables(
-        gen_section_docs_spark(spark, n_docs, seed=42),
+        docs,
         f"^{SECTION_START}$",
         f"^{SECTION_STOP}$",
     )

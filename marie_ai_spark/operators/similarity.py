@@ -920,48 +920,92 @@ def _bloom_mix(x, seed: int):
         return z ^ (z >> np.uint64(31))
 
 
+def _bloom_bits_for(n: int) -> int:
+    import numpy as np
+
+    return int(
+        min(
+            _BLOOM_MAX_BITS,
+            max(1024, 1 << int(np.ceil(np.log2(max(2, 10 * n))))),
+        )
+    )
+
+
 def _build_manifest_rows(cell_ids: DataFrame) -> DataFrame:
     """Per-cell vec_id manifest (VERDICT r6 item 3): count, id range and
-    a bloom filter, built as one Arrow stage per cell. The bloom is
-    capped at 1 MiB per cell — on cells holding more ids than the cap
-    covers at 10 bits/key the false-positive rate rises (never the
-    false-NEGATIVE rate: pruning stays sound, merely less sharp), so
-    the manifest degrades toward the min/max range check instead of
-    growing unboundedly."""
+    a bloom filter. The bloom is capped at 1 MiB per cell — on cells
+    holding more ids than the cap covers at 10 bits/key the
+    false-positive rate rises (never the false-NEGATIVE rate: pruning
+    stays sound, merely less sharp), so the manifest degrades toward the
+    min/max range check instead of growing unboundedly.
+
+    Build shape (ADVICE r7): PARTIAL per-partition bitmaps OR-merged per
+    cell, so no task ever materializes a whole cell's id set — a hot
+    cell at 100 TB concentrates corpus-fraction ids, and the previous
+    one-group-per-cell build held them all in one pandas frame. Sizing
+    needs the exact per-cell count first (a k-row aggregate, bounded
+    index metadata broadcast into the partial stage); the OR-merge group
+    is #partials-per-cell rows of fixed-size bitmaps, bounded by task
+    count. The merged bytes are IDENTICAL to the single-pass build (same
+    mix, same bits; OR is associative/commutative)."""
     import numpy as np
     import pandas as pd
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy(np.int64)
-        idsu = ids.view(np.uint64)
-        n = len(ids)
-        bits = int(
-            min(
-                _BLOOM_MAX_BITS,
-                max(1024, 1 << int(np.ceil(np.log2(max(2, 10 * n))))),
-            )
-        )
+    spark = cell_ids.sparkSession
+    stats = {
+        int(r.cell): (int(r.n), int(r.mn), int(r.mx))
+        for r in cell_ids.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("vec_id").alias("mn"),
+            F.max("vec_id").alias("mx"),
+        ).collect()
+    }
+    bits_by_cell = {c: _bloom_bits_for(n) for c, (n, _, _) in stats.items()}
+    bc = spark.sparkContext.broadcast(bits_by_cell)
+
+    def partials(it):
+        for pdf in it:
+            rows_c, rows_b = [], []
+            for cell, grp in pdf.groupby("cell", sort=False):
+                cell = int(cell)
+                bits = bc.value[cell]
+                idsu = grp["vec_id"].to_numpy(np.int64).view(np.uint64)
+                arr = np.zeros(bits // 8, np.uint8)
+                for i in range(_BLOOM_K):
+                    pos = (
+                        _bloom_mix(idsu, i + 1) % np.uint64(bits)
+                    ).astype(np.int64)
+                    np.bitwise_or.at(
+                        arr, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+                    )
+                rows_c.append(cell)
+                rows_b.append(arr.tobytes())
+            yield pd.DataFrame({"cell": pd.Series(rows_c, dtype="int32"),
+                                "part": rows_b})
+
+    part_df = cell_ids.mapInPandas(partials, "cell int, part binary")
+    stats_bc = spark.sparkContext.broadcast(stats)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cell"].iloc[0])
+        n, mn, mx = stats_bc.value[cell]
+        bits = _bloom_bits_for(n)
         arr = np.zeros(bits // 8, np.uint8)
-        for i in range(_BLOOM_K):
-            pos = (_bloom_mix(idsu, i + 1) % np.uint64(bits)).astype(
-                np.int64
-            )
-            np.bitwise_or.at(
-                arr, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
-            )
+        for b in pdf["part"]:
+            arr |= np.frombuffer(b, np.uint8)
         return pd.DataFrame(
             {
-                "cell": [int(pdf["cell"].iloc[0])],
+                "cell": [cell],
                 "n": [n],
-                "min_id": [int(ids.min())],
-                "max_id": [int(ids.max())],
+                "min_id": [mn],
+                "max_id": [mx],
                 "bloom": [arr.tobytes()],
                 "bloom_bits": [bits],
                 "bloom_k": [_BLOOM_K],
             }
         )
 
-    return cell_ids.groupBy("cell").applyInPandas(fn, _MANIFEST_SCHEMA)
+    return part_df.groupBy("cell").applyInPandas(merge, _MANIFEST_SCHEMA)
 
 
 def _read_manifest(spark, path: str):
@@ -1067,7 +1111,83 @@ def _rename_or_raise(fs, src, dst) -> None:
         raise IOError(f"ivf_upsert: rename {src} -> {dst} failed")
 
 
-def ivf_recover(spark, path: str) -> bool:
+#: commit-lock lease: a lock older than this is considered abandoned even
+#: when PID liveness cannot be checked (different host on a shared store)
+_UPSERT_LOCK_LEASE_S = 900
+
+
+def _lock_path(path: str) -> str:
+    return f"{path}/.upsert_lock"
+
+
+def _try_acquire_upsert_lock(spark, path: str) -> bool:
+    """Best-effort writer/recoverer exclusivity for the upsert commit
+    (ADVICE r7 medium): an atomic createNewFile under the index root.
+    A held lock is broken only when its owner is provably dead — same
+    host and the PID is gone — or when it is older than the lease.
+    Returns False when a LIVE owner holds it (caller must not mutate)."""
+    import json as _json
+    import os
+    import socket
+    import time
+
+    P, fs = _ivf_fs(spark, path)
+    lp = P(_lock_path(path))
+    for _ in range(2):
+        try:
+            out = fs.create(lp, False)  # overwrite=False -> atomic create
+            out.write(
+                _json.dumps(
+                    {"pid": os.getpid(), "host": socket.gethostname(),
+                     "ts": time.time()}
+                ).encode()
+            )
+            out.close()
+            return True
+        except Exception:
+            # lock exists (or raced): decide whether its owner is dead
+            try:
+                st = fs.getFileStatus(lp)
+                age = time.time() - st.getModificationTime() / 1000.0
+                info = {}
+                try:
+                    stream = fs.open(lp)
+                    raw = bytes(
+                        stream.readAllBytes()
+                        if hasattr(stream, "readAllBytes")
+                        else b""
+                    )
+                    stream.close()
+                    info = _json.loads(raw.decode() or "{}")
+                except Exception:
+                    info = {}
+                same_host = info.get("host") == socket.gethostname()
+                pid_dead = False
+                if same_host and isinstance(info.get("pid"), int):
+                    try:
+                        os.kill(info["pid"], 0)
+                    except ProcessLookupError:
+                        pid_dead = True
+                    except PermissionError:
+                        pid_dead = False
+                if pid_dead or age > _UPSERT_LOCK_LEASE_S:
+                    fs.delete(lp, False)
+                    continue  # retry the atomic create
+            except Exception:
+                pass
+            return False
+    return False
+
+
+def _release_upsert_lock(spark, path: str) -> None:
+    P, fs = _ivf_fs(spark, path)
+    try:
+        fs.delete(P(_lock_path(path)), False)
+    except Exception:
+        pass
+
+
+def ivf_recover(spark, path: str, _locked: bool = False) -> bool:
     """Repair an interrupted ivf_upsert commit (VERDICT r6 item 2 /
     ADVICE r6 medium — the compact_extracted recovery pattern applied to
     the index seam). Commit protocol: stage (partitioned by cell) ->
@@ -1083,7 +1203,16 @@ def ivf_recover(spark, path: str) -> bool:
     fully pre-upsert. Either way the index is never part-old/part-new
     after recovery, and orphaned scratch dirs are reaped. The scan is
     one bounded listStatus (n_cells + debris entries); no-op when clean.
-    Returns True if anything was repaired."""
+
+    Exclusivity (ADVICE r7 medium): recovery mutates the live layout, so
+    it runs ONLY under the upsert commit lock. A recover invoked while a
+    LIVE writer holds the lock — e.g. the read path racing an in-flight
+    upsert — returns False without touching anything (the writer will
+    finish or its crash leaves a breakable lock), so a reader can never
+    delete a healthy writer's staging or race its swap renames. A lock
+    whose owner is provably dead (same-host PID gone) or older than the
+    lease is broken and recovery proceeds. Returns True if anything was
+    repaired."""
     P, fs = _ivf_fs(spark, path)
     root = P(path)
     if not fs.exists(root):
@@ -1091,6 +1220,8 @@ def ivf_recover(spark, path: str) -> bool:
     pending, debris = [], []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
+        if name == ".upsert_lock":
+            continue
         if name.startswith(".upsert_pending_") and not name.endswith(
             ".tmp"
         ):
@@ -1102,6 +1233,13 @@ def ivf_recover(spark, path: str) -> bool:
             debris.append(name)
     if not pending and not debris:
         return False
+    if not _locked:
+        if not _try_acquire_upsert_lock(spark, path):
+            return False  # a live owner holds the commit lock: hands off
+        try:
+            return ivf_recover(spark, path, _locked=True)
+        finally:
+            _release_upsert_lock(spark, path)
     live_runs = set()
     for name in pending:
         row = spark.read.parquet(f"{path}/{name}").first()
@@ -1126,6 +1264,9 @@ def ivf_recover(spark, path: str) -> bool:
                 )
         fs.delete(P(trash), True)
         fs.delete(P(stage), True)
+        # reap this run's manifest stage here too (ADVICE r7: it used to
+        # survive one extra recover because live_runs excluded it below)
+        fs.delete(P(f"{path}/.upsert_manifest_stage_{run}"), True)
         # the manifest may predate this commit: drop it; the next upsert
         # falls back to the full hunt and rebuilds it
         fs.delete(P(path + "_manifest"), True)
@@ -1216,7 +1357,27 @@ def ivf_upsert(
     import uuid as _uuid
 
     spark = new_embeddings.sparkSession
-    ivf_recover(spark, path)
+    # Writer exclusivity (ADVICE r7 medium): the whole upsert — recovery,
+    # staging, swap, manifest — runs under the commit lock, so concurrent
+    # readers' recover calls become no-ops instead of racing the swap or
+    # deleting this run's pre-marker staging. Released in the finally; a
+    # hard crash leaves it breakable (dead-PID / lease check).
+    if not _try_acquire_upsert_lock(spark, path):
+        raise IOError(
+            f"ivf_upsert: another upsert holds the commit lock on {path}"
+        )
+    try:
+        return _ivf_upsert_locked(new_embeddings, spark, path, new_ids_only)
+    finally:
+        _release_upsert_lock(spark, path)
+
+
+def _ivf_upsert_locked(
+    new_embeddings: DataFrame, spark, path: str, new_ids_only: bool
+) -> dict:
+    import uuid as _uuid
+
+    ivf_recover(spark, path, _locked=True)
     centroids = ivf_read_quantizer(spark, path)
     index_cols = [
         c for c in spark.read.parquet(path).columns if c != "cell"
@@ -1302,6 +1463,14 @@ def ivf_upsert(
     staged_cells = sorted(got)
     emptied = sorted(set(all_touched) - set(staged_cells))
 
+    # ADVICE r7: the post-commit manifest rebuild must not depend on the
+    # persisted merge's LINEAGE — if cached partitions are lost on a
+    # cluster, recomputation re-reads a pre-commit file listing whose
+    # files the swap renames away (spurious FileNotFound after a
+    # successful commit). The eager localCheckpoint pins the bounded
+    # (cell, vec_id) projection as lineage-free blocks BEFORE any rename.
+    manifest_src = merged.select("cell", "vec_id").localCheckpoint()
+
     marker_tmp = f"{path}/.upsert_pending_{run}.tmp"
     marker = f"{path}/.upsert_pending_{run}"
     local_df_1p(
@@ -1328,7 +1497,7 @@ def ivf_upsert(
     # the manifest refresh needs no re-read of the live table
     _rewrite_manifest(
         spark, path, all_touched, run,
-        touched_src=merged.select("cell", "vec_id"),
+        touched_src=manifest_src,
     )
     fs.delete(P(marker), True)
 

@@ -574,3 +574,43 @@ def test_ivf_upsert_kill_mid_commit(spark, tmp_path, monkeypatch, crash):
         p.name for p in (tmp_path / "idx").iterdir()
         if p.name.startswith(".upsert_")
     ]
+
+
+def test_ivf_recover_is_noop_under_live_lock(spark, tmp_path):
+    """ADVICE r7 (medium): recovery from the READ path must never delete
+    an in-flight writer's scratch state or race its swap. While a LIVE
+    process holds the commit lock, ivf_recover is a strict no-op; once
+    the lock is released (or its owner dies), the same debris is reaped
+    normally."""
+    import os
+
+    from marie_ai_spark.operators import similarity as S
+
+    path, _batch = _ivf_fixture(spark, tmp_path, "idx")
+    # a healthy writer's pre-marker staging, with the writer alive (us)
+    assert S._try_acquire_upsert_lock(spark, path)
+    staging = tmp_path / "idx" / ".upsert_staging_feedc0de"
+    staging.mkdir()
+    assert S.ivf_recover(spark, path) is False
+    assert staging.exists(), "reader recovery must not touch live staging"
+    # writer done: lock released, the orphan is reaped by the next recover
+    S._release_upsert_lock(spark, path)
+    assert S.ivf_recover(spark, path) is True
+    assert not staging.exists()
+    # a crashed writer's lock (dead pid) does not block recovery
+    staging.mkdir()
+    assert S._try_acquire_upsert_lock(spark, path)
+    import json
+
+    lock = tmp_path / "idx" / ".upsert_lock"
+    info = json.loads(lock.read_text())
+    info["pid"] = 2**22 + 12345  # beyond pid_max default: provably dead
+    lock.write_text(json.dumps(info))
+    # rewriting the file directly invalidates the Hadoop LocalFileSystem
+    # checksum sidecar; drop it so the recoverer can read the lock body
+    crc = tmp_path / "idx" / "..upsert_lock.crc"
+    if crc.exists():
+        crc.unlink()
+    assert S.ivf_recover(spark, path) is True
+    assert not staging.exists()
+    assert os.path.exists(path)
