@@ -931,7 +931,16 @@ def _bloom_bits_for(n: int) -> int:
     )
 
 
-def _build_manifest_rows(cell_ids: DataFrame) -> DataFrame:
+#: per-cell id count above which the manifest build switches to the
+#: partial-bitmap path (ADVICE r7): below it a cell's whole id set is a
+#: bounded pandas group (<= ~32 MB of int64), above it no task may hold
+#: the cell in one frame
+_MANIFEST_MAX_GROUP_IDS = 4_000_000
+
+
+def _build_manifest_rows(
+    cell_ids: DataFrame, cell_counts: dict | None = None
+) -> DataFrame:
     """Per-cell vec_id manifest (VERDICT r6 item 3): count, id range and
     a bloom filter. The bloom is capped at 1 MiB per cell — on cells
     holding more ids than the cap covers at 10 bits/key the
@@ -939,19 +948,25 @@ def _build_manifest_rows(cell_ids: DataFrame) -> DataFrame:
     stays sound, merely less sharp), so the manifest degrades toward the
     min/max range check instead of growing unboundedly.
 
-    Build shape (ADVICE r7): PARTIAL per-partition bitmaps OR-merged per
-    cell, so no task ever materializes a whole cell's id set — a hot
-    cell at 100 TB concentrates corpus-fraction ids, and the previous
-    one-group-per-cell build held them all in one pandas frame. Sizing
-    needs the exact per-cell count first (a k-row aggregate, bounded
-    index metadata broadcast into the partial stage); the OR-merge group
-    is #partials-per-cell rows of fixed-size bitmaps, bounded by task
-    count. The merged bytes are IDENTICAL to the single-pass build (same
-    mix, same bits; OR is associative/commutative)."""
+    Build shape (ADVICE r7): when any cell exceeds
+    _MANIFEST_MAX_GROUP_IDS ids, the build runs as PARTIAL per-partition
+    bitmaps OR-merged per cell, so no task ever materializes a hot
+    cell's id set — at 100 TB a hot cell concentrates corpus-fraction
+    ids. Below the bound the one-Arrow-stage-per-cell build is strictly
+    cheaper (no stats pass, no second shuffle) and its group memory is
+    bounded by the same constant. `cell_counts` (cell -> exact row
+    count, e.g. the upsert's verified staging checksums) skips the
+    sizing aggregate; without it one k-row stats job decides. Both
+    paths emit byte-identical manifests (same mix, same bits; OR is
+    associative/commutative)."""
     import numpy as np
     import pandas as pd
 
     spark = cell_ids.sparkSession
+    if cell_counts is not None and all(
+        n <= _MANIFEST_MAX_GROUP_IDS for n in cell_counts.values()
+    ):
+        return _build_manifest_rows_grouped(cell_ids)
     stats = {
         int(r.cell): (int(r.n), int(r.mn), int(r.mx))
         for r in cell_ids.groupBy("cell").agg(
@@ -960,6 +975,8 @@ def _build_manifest_rows(cell_ids: DataFrame) -> DataFrame:
             F.max("vec_id").alias("mx"),
         ).collect()
     }
+    if all(n <= _MANIFEST_MAX_GROUP_IDS for n, _, _ in stats.values()):
+        return _build_manifest_rows_grouped(cell_ids)
     bits_by_cell = {c: _bloom_bits_for(n) for c, (n, _, _) in stats.items()}
     bc = spark.sparkContext.broadcast(bits_by_cell)
 
@@ -1006,6 +1023,41 @@ def _build_manifest_rows(cell_ids: DataFrame) -> DataFrame:
         )
 
     return part_df.groupBy("cell").applyInPandas(merge, _MANIFEST_SCHEMA)
+
+
+def _build_manifest_rows_grouped(cell_ids: DataFrame) -> DataFrame:
+    """One-Arrow-stage-per-cell manifest build — the cheap path for cells
+    bounded by _MANIFEST_MAX_GROUP_IDS (the common case; the partial
+    path above takes over beyond it)."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        idsu = ids.view(np.uint64)
+        n = len(ids)
+        bits = _bloom_bits_for(n)
+        arr = np.zeros(bits // 8, np.uint8)
+        for i in range(_BLOOM_K):
+            pos = (_bloom_mix(idsu, i + 1) % np.uint64(bits)).astype(
+                np.int64
+            )
+            np.bitwise_or.at(
+                arr, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+            )
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "n": [n],
+                "min_id": [int(ids.min())],
+                "max_id": [int(ids.max())],
+                "bloom": [arr.tobytes()],
+                "bloom_bits": [bits],
+                "bloom_k": [_BLOOM_K],
+            }
+        )
+
+    return cell_ids.groupBy("cell").applyInPandas(fn, _MANIFEST_SCHEMA)
 
 
 def _read_manifest(spark, path: str):
@@ -1498,6 +1550,10 @@ def _ivf_upsert_locked(
     _rewrite_manifest(
         spark, path, all_touched, run,
         touched_src=manifest_src,
+        # the verified staging checksums already carry exact per-cell
+        # row counts — the manifest build sizes its blooms from them
+        # without a sizing aggregate
+        cell_counts={c: rows for c, (rows, _ck) in got.items()},
     )
     fs.delete(P(marker), True)
 
@@ -1517,6 +1573,7 @@ def _ivf_upsert_locked(
 def _rewrite_manifest(
     spark, path: str, touched: list[int], run: str,
     touched_src: DataFrame | None = None,
+    cell_counts: dict | None = None,
 ) -> None:
     """Swap in fresh manifest rows for the touched cells (or rebuild the
     whole manifest when it was missing): staged to a hidden dir, old
@@ -1538,7 +1595,7 @@ def _rewrite_manifest(
             .select("cell", "vec_id")
             .filter(F.col("cell").isin(touched))
         )
-        fresh = _build_manifest_rows(src)
+        fresh = _build_manifest_rows(src, cell_counts=cell_counts)
         keep = spark.read.parquet(mpath).filter(
             ~F.col("cell").isin(touched)
         )
