@@ -66,19 +66,50 @@ def _events_stage(rules):
 
 
 def _state_scan(rules):
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("turn_idx")
+    """Per-conversation entry-state scan as ONE mapInPandas over
+    conv_id-partitioned, (conv_id, turn_idx)-sorted event rows: walking
+    contiguous conversation runs inside each Arrow batch costs one
+    Python invocation per batch instead of one per conversation
+    (groupBy().applyInPandas built a pandas frame per tiny group —
+    the boxes._per_page lesson). A conversation straddling two batches
+    is carried over, so results are identical for any batch size."""
+
+    def fn(batches):
+        pend = None
+        for pdf in batches:
+            if pend is not None and len(pend):
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+            if not len(pdf):
+                pend = None
+                continue
+            last_cid = pdf["conv_id"].iat[-1]
+            tail = 0
+            for i in range(len(pdf) - 1, -1, -1):
+                if pdf["conv_id"].iat[i] == last_cid:
+                    tail += 1
+                else:
+                    break
+            body = pdf.iloc[: len(pdf) - tail]
+            pend = pdf.iloc[len(pdf) - tail:]
+            if len(body):
+                yield _scan_runs(body, rules)
+        if pend is not None and len(pend):
+            yield _scan_runs(pend, rules)
+
+    return fn
+
+
+def _scan_runs(pdf: pd.DataFrame, rules) -> pd.DataFrame:
+    rows = []
+    for _cid, grp in pdf.groupby("conv_id", sort=False):
         state = frozenset()
-        rows = []
-        for cid, tix, ev in zip(pdf["conv_id"], pdf["turn_idx"], pdf["events"]):
+        for cid, tix, ev in zip(
+            grp["conv_id"], grp["turn_idx"], grp["events"]
+        ):
             if state:
                 rows.append((cid, int(tix), sorted(state)))
             state = evolve_open_state(state, json.loads(ev), rules)
-        return pd.DataFrame(
-            rows, columns=["conv_id", "turn_idx", "entry_open"]
-        )
-
-    return fn
+    return pd.DataFrame(rows, columns=["conv_id", "turn_idx", "entry_open"])
 
 
 def _stateful_extract(rules, pdf_mode):
@@ -123,8 +154,10 @@ def extract_with_continuation(
     events = pruned.select("conv_id", "turn_idx", "text").mapInPandas(
         _events_stage(rules), schema=_EVENTS_SCHEMA
     )
-    entry = events.groupBy("conv_id").applyInPandas(
-        _state_scan(rules), schema=_ENTRY_SCHEMA
+    entry = (
+        events.repartition("conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .mapInPandas(_state_scan(rules), schema=_ENTRY_SCHEMA)
     )
     joined = pruned.join(entry, ["conv_id", "turn_idx"], "left")
     return joined.mapInPandas(
