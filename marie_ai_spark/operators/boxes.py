@@ -1,10 +1,11 @@
 """T3/T4 box merges as per-page Spark operators.
 
 The reference algorithms (marie/utils/overlap.py:288-384) are greedy and
-order-dependent, so they run through the shared ref_ops twin inside
-applyInPandas over (conv_id, turn_idx, page) groups — bounded word counts
-per page, high-cardinality grouping key, no skew. Input order within a
-page is pinned to word_id so the distributed result is deterministic.
+order-dependent, so they run through the shared ref_ops twin inside ONE
+Arrow map stage that walks contiguous (conv_id, turn_idx, page) groups —
+bounded word counts per page, high-cardinality partitioning key, no
+skew. Input order within a page is pinned to word_id so the distributed
+result is deterministic.
 """
 
 from __future__ import annotations

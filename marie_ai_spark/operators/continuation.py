@@ -14,10 +14,10 @@ passes, none of which materializes per-conversation text in one place:
   A. narrow map: per-turn continuation EVENT summary (marker line
      positions only — cheap: markers can only occur in line-kind turns,
      so the html/pdf parsers never run here)
-  B. per-conversation state scan over the tiny event rows
-     (applyInPandas groupBy conv_id; rows are a few bytes per turn, so
-     even a 10^6-turn conversation's group is small), emitting entry-state
-     rows ONLY for turns where some section is open
+  B. per-conversation state scan over the tiny event rows (one Arrow
+     map over conv_id-partitioned, turn-sorted events; rows are a few
+     bytes per turn, so even a 10^6-turn conversation's run is small),
+     emitting entry-state rows ONLY for turns where some section is open
   C. narrow map: stateful extraction with the entry state joined in
      (equi-join on the full turn key — uniform, skew-free)
 

@@ -45,11 +45,12 @@ the bench harness does); "staging" writes the fan-out to a temp parquet
 dir both passes read (the training-pipeline barrier pattern).
 
 The per-norm decisions are computed EAGERLY through a bounded
-`limit(max_broadcast_decisions + 1).collect()` — the union-find-gate
-pattern (dedup.py): at or under the bound the decisions become a local
-DataFrame and the join-back broadcasts it (the fan-out never shuffles);
-over the bound (vocabulary too big to broadcast safely) the join-back
-degrades to a shuffle join instead of overflowing the driver.
+count-over-localCheckpoint gate (the dedup.py pattern, round 8): at or
+under the bound the decisions become a local DataFrame and the join-back
+broadcasts it (the fan-out never shuffles); over the bound (vocabulary
+too big to broadcast safely) the join-back joins the already-
+checkpointed decision table by shuffle instead of overflowing the
+driver — never a driver collect, never a recompute of the scoring pass.
 """
 
 from __future__ import annotations
