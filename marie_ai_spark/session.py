@@ -37,6 +37,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # long-running-driver hygiene (scale-neutral): a session that runs
+        # hundreds of jobs accumulates status-store entries and
+        # dereferenced RDD/broadcast/shuffle state; the ContextCleaner
+        # only reclaims on driver GC, which a mostly-idle 8g driver heap
+        # may not trigger for the whole run — force it periodically and
+        # keep the (UI-less) status store bounded
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "500")
+        .config("spark.ui.retainedTasks", "20000")
+        .config("spark.sql.ui.retainedExecutions", "100")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
