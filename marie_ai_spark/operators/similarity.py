@@ -722,9 +722,14 @@ def ivf_write_index(
     hunt to candidate cells."""
     import json
 
-    ivf_assign(embeddings, centroids).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(path)
+    # repartition by cell before the partitioned write (guide §6): one
+    # file per cell directory instead of (#tasks x #cells) small files —
+    # the parallel Arrow assignment otherwise fans every task into every
+    # cell dir, and each extra file taxes every later probe, manifest
+    # rebuild and upsert swap
+    ivf_assign(embeddings, centroids).repartition("cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
     spark = embeddings.sparkSession
     local_df_1p(
         spark, [(json.dumps(centroids),)], "centroids_json string"
@@ -747,7 +752,9 @@ def ivf_write_index_int8(
 
     quantize_int8(ivf_assign(embeddings, centroids)).drop(
         "embedding"
-    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    ).repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
     spark = embeddings.sparkSession
     local_df_1p(
         spark, [(json.dumps(centroids),)], "centroids_json string"
@@ -1497,7 +1504,11 @@ def _ivf_upsert_locked(
     run = _uuid.uuid4().hex
     P, fs = _ivf_fs(spark, path)
     stage = f"{path}/.upsert_staging_{run}"
-    merged.write.mode("overwrite").partitionBy("cell").parquet(stage)
+    # one file per staged cell dir (guide §6) — fewer files to verify,
+    # rename and later scan
+    merged.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(stage)
     # re-select in merged's column order AND types: `cell` comes back as
     # an inferred partition column, and the checksum hashes (cols, types)
     staged = spark.read.parquet(stage).select(
